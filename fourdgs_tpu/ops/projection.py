@@ -1,0 +1,145 @@
+"""Gaussian projection: 3D -> screen-space splats (EWA).
+
+The vectorized equivalent of the per-Gaussian `preprocess` stage of the
+reference's CUDA rasterizer (behavioral contract via its call site,
+ref gaussian_renderer/__init__.py:38-51,120-128): view transform, frustum
+cull at z<=0.2, perspective projection, 2D covariance by local affine (EWA)
+with the +0.3 pixel low-pass, conic + 3-sigma radius, and tile rects.
+
+Everything is plain jnp over the N axis — XLA fuses this into a handful of
+VPU passes; the matmul-shaped parts (cov2d) are written as elementwise math
+on packed covariances to avoid tiny-batched 3x3 matmuls.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from fourdgs_tpu.data.camera import Camera
+from fourdgs_tpu.ops import transforms
+
+FRUSTUM_NEAR = 0.2     # view-space z cull threshold
+LOWPASS = 0.3          # pixel-space covariance dilation
+RADIUS_SIGMA = 3.0
+
+
+class Projected(NamedTuple):
+    """Per-Gaussian screen-space quantities (all (N, ...))."""
+    pix: jnp.ndarray            # (N, 2) pixel-space center
+    depth: jnp.ndarray          # (N,) view-space z
+    conic: jnp.ndarray          # (N, 3) inverse 2D covariance (A, B, C)
+    radius: jnp.ndarray         # (N,) int32 screen radius (0 = culled)
+    rect_min: jnp.ndarray       # (N, 2) int32 inclusive tile min (x, y)
+    rect_max: jnp.ndarray       # (N, 2) int32 exclusive tile max (x, y)
+    tiles_touched: jnp.ndarray  # (N,) int32
+
+
+def project_gaussians(
+    means3d: jnp.ndarray,          # (N, 3)
+    scales: jnp.ndarray,           # (N, 3) activated (positive)
+    quats: jnp.ndarray,            # (N, 4) (normalized internally)
+    camera: Camera,
+    img_width: int,
+    img_height: int,
+    tile_size: int,
+    ndc_offset: jnp.ndarray | None = None,   # (N, 2) zero grad-carrier
+    alive: jnp.ndarray | None = None,        # (N,) bool
+    scale_modifier: float = 1.0,
+    cov3d_precomp: jnp.ndarray | None = None,  # (N, 6) packed, optional
+) -> Projected:
+    n = means3d.shape[0]
+    W = camera.world_view
+
+    # --- view transform + frustum cull ---
+    t = means3d @ W[:3, :3].T + W[:3, 3]
+    tz = t[:, 2]
+    in_front = tz > FRUSTUM_NEAR
+
+    # --- perspective projection to NDC, then pixels ---
+    ph = means3d @ camera.full_proj[:3, :3].T + camera.full_proj[:3, 3]
+    pw = means3d @ camera.full_proj[3, :3].T + camera.full_proj[3, 3]
+    rw = 1.0 / (pw + 1e-7)
+    ndc_xy = ph[:, :2] * rw[:, None]
+    if ndc_offset is not None:
+        ndc_xy = ndc_xy + ndc_offset
+    pix = jnp.stack([
+        ((ndc_xy[:, 0] + 1.0) * img_width - 1.0) * 0.5,
+        ((ndc_xy[:, 1] + 1.0) * img_height - 1.0) * 0.5], axis=-1)
+
+    # --- 3D covariance (packed symmetric) ---
+    if cov3d_precomp is None:
+        cov3d = transforms.strip_symmetric(
+            transforms.build_covariance_3d(scales, quats, scale_modifier))
+    else:
+        cov3d = cov3d_precomp
+    c_xx, c_xy, c_xz, c_yy, c_yz, c_zz = (cov3d[:, i] for i in range(6))
+
+    # --- EWA: cov2d = M Sigma M^T, M = J @ W3 (2x3 per Gaussian) ---
+    fx = img_width / (2.0 * camera.tanfovx)
+    fy = img_height / (2.0 * camera.tanfovy)
+    limx = 1.3 * camera.tanfovx
+    limy = 1.3 * camera.tanfovy
+    txz = jnp.clip(t[:, 0] / tz, -limx, limx) * tz
+    tyz = jnp.clip(t[:, 1] / tz, -limy, limy) * tz
+    inv_z = 1.0 / tz
+    inv_z2 = inv_z * inv_z
+    # J rows (only 2 nonzero rows matter)
+    j00 = fx * inv_z
+    j02 = -fx * txz * inv_z2
+    j11 = fy * inv_z
+    j12 = -fy * tyz * inv_z2
+    R3 = W[:3, :3]
+    # M = J @ R3: row0 = j00*R3[0] + j02*R3[2]; row1 = j11*R3[1] + j12*R3[2]
+    m0 = j00[:, None] * R3[0] + j02[:, None] * R3[2]   # (N, 3)
+    m1 = j11[:, None] * R3[1] + j12[:, None] * R3[2]   # (N, 3)
+
+    def sigma_vec(v):
+        """Sigma @ v for packed symmetric Sigma, batched."""
+        return jnp.stack([
+            c_xx * v[:, 0] + c_xy * v[:, 1] + c_xz * v[:, 2],
+            c_xy * v[:, 0] + c_yy * v[:, 1] + c_yz * v[:, 2],
+            c_xz * v[:, 0] + c_yz * v[:, 1] + c_zz * v[:, 2]], axis=-1)
+
+    s_m0 = sigma_vec(m0)
+    s_m1 = sigma_vec(m1)
+    cov00 = (m0 * s_m0).sum(-1) + LOWPASS
+    cov01 = (m0 * s_m1).sum(-1)
+    cov11 = (m1 * s_m1).sum(-1) + LOWPASS
+
+    det = cov00 * cov11 - cov01 * cov01
+    det_ok = det > 0.0
+    inv_det = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
+    conic = jnp.stack([cov11 * inv_det, -cov01 * inv_det, cov00 * inv_det],
+                      axis=-1)
+
+    mid = 0.5 * (cov00 + cov11)
+    lam1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    radius_f = jnp.ceil(RADIUS_SIGMA * jnp.sqrt(lam1))
+
+    visible = in_front & det_ok
+    if alive is not None:
+        visible = visible & alive
+    radius = jnp.where(visible, radius_f, 0.0).astype(jnp.int32)
+
+    # --- tile rects (CUDA getRect semantics) ---
+    grid_x = (img_width + tile_size - 1) // tile_size
+    grid_y = (img_height + tile_size - 1) // tile_size
+    rf = radius.astype(jnp.float32)
+    rect_min = jnp.stack([
+        jnp.clip(((pix[:, 0] - rf) / tile_size).astype(jnp.int32), 0, grid_x),
+        jnp.clip(((pix[:, 1] - rf) / tile_size).astype(jnp.int32), 0, grid_y)],
+        axis=-1)
+    rect_max = jnp.stack([
+        jnp.clip(((pix[:, 0] + rf + tile_size - 1) / tile_size).astype(jnp.int32),
+                 0, grid_x),
+        jnp.clip(((pix[:, 1] + rf + tile_size - 1) / tile_size).astype(jnp.int32),
+                 0, grid_y)], axis=-1)
+    spans = jnp.maximum(rect_max - rect_min, 0)
+    tiles_touched = jnp.where(radius > 0, spans[:, 0] * spans[:, 1], 0)
+    # Zero the rect span for untouched gaussians so downstream binning is clean.
+    rect_max = jnp.where((tiles_touched > 0)[:, None], rect_max, rect_min)
+
+    return Projected(pix=pix, depth=tz, conic=conic, radius=radius,
+                     rect_min=rect_min, rect_max=rect_max,
+                     tiles_touched=tiles_touched)

@@ -1,0 +1,364 @@
+"""Tile-binned differentiable Gaussian rasterizer (XLA path).
+
+TPU-native replacement for the reference's CUDA
+`depth-diff-gaussian-rasterization` submodule (contract via its call sites,
+ref gaussian_renderer/__init__.py:38-58,120-128). Architecture is designed
+for XLA's static-shape compilation model, NOT a translation of the CUDA
+kernels:
+
+  1. project_gaussians           — vectorized EWA (ops/projection.py)
+  2. bin_gaussians               — depth sort + (gaussian, tile) pair
+     expansion under a static PAIR_CAP budget, stable sort by tile id, then
+     per-tile fixed-capacity index lists (num_tiles, TILE_CAP). All shapes
+     static; overflow is counted, never crashes.
+  3. blend (custom VJP)          — front-to-back alpha compositing over
+     depth-ordered per-tile lists, vectorized over (tiles x chunk x pixels)
+     with an in-chunk exclusive cumprod for order correctness. The backward
+     pass re-runs the forward recurrence and uses the suffix identity
+     dC/da_i = T_i c_i - (C_final - C_prefix_i)/(1 - a_i), so nothing
+     per-step is stored (O(1) memory in list length).
+
+Blending numerics follow the semantics spec in ops/rasterize_ref.py.
+The same binning feeds the Pallas blend kernels (ops/pallas/blend.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fourdgs_tpu.data.camera import Camera
+from fourdgs_tpu.ops import sh as sh_ops
+from fourdgs_tpu.ops.projection import Projected, project_gaussians
+from fourdgs_tpu.ops.rasterize_ref import (ALPHA_MAX, ALPHA_MIN, T_MIN,
+                                           RenderOutput)
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterConfig:
+    """Static rasterizer configuration (hashable; closed over by jit)."""
+    img_width: int
+    img_height: int
+    tile_size: int = 16
+    tile_cap: int = 1024       # max gaussians composited per tile
+    pair_cap: int = 1 << 20    # global (gaussian, tile) pair budget
+    chunk: int = 32            # gaussians per compositing step
+    backend: str = "xla"       # "xla" | "pallas"
+
+    @property
+    def grid_x(self) -> int:
+        return -(-self.img_width // self.tile_size)
+
+    @property
+    def grid_y(self) -> int:
+        return -(-self.img_height // self.tile_size)
+
+    @property
+    def num_tiles(self) -> int:
+        return self.grid_x * self.grid_y
+
+    @property
+    def pixels_per_tile(self) -> int:
+        return self.tile_size * self.tile_size
+
+
+class BinnedTiles(NamedTuple):
+    gidx: jnp.ndarray            # (num_tiles, tile_cap) int32, -1 padded
+    counts: jnp.ndarray          # (num_tiles,) int32
+    num_pairs: jnp.ndarray       # () int32 total pairs before capping
+    dropped_pairs: jnp.ndarray   # () int32 pairs beyond pair_cap
+    dropped_tile: jnp.ndarray    # () int32 pairs beyond per-tile cap
+
+
+# ---------------------------------------------------------------------------
+# Binning
+# ---------------------------------------------------------------------------
+
+def bin_gaussians(proj: Projected, cfg: RasterConfig) -> BinnedTiles:
+    """Build per-tile depth-ordered gaussian index lists with static shapes."""
+    n = proj.depth.shape[0]
+    visible = proj.tiles_touched > 0
+
+    # Depth order, invisible last.
+    order = jnp.argsort(jnp.where(visible, proj.depth, jnp.inf))
+    touched_s = proj.tiles_touched[order]
+    rect_min_s = proj.rect_min[order]
+    span_x_s = jnp.maximum(proj.rect_max[order, 0] - rect_min_s[:, 0], 1)
+
+    # Exclusive cumsum offsets over depth-sorted gaussians.
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(touched_s, dtype=jnp.int32)])
+    total = offsets[-1]
+
+    # Each pair slot finds its owning gaussian (gather formulation of the
+    # variable-length scatter the CUDA version does with duplication).
+    slots = jnp.arange(cfg.pair_cap, dtype=jnp.int32)
+    owner = jnp.searchsorted(offsets, slots, side="right").astype(jnp.int32) - 1
+    owner = jnp.clip(owner, 0, n - 1)
+    valid = slots < total
+    local = slots - offsets[owner]
+    sx = span_x_s[owner]
+    dx = local % sx
+    dy = local // sx
+    tx = rect_min_s[owner, 0] + dx
+    ty = rect_min_s[owner, 1] + dy
+    tile_id = jnp.where(valid, ty * cfg.grid_x + tx, cfg.num_tiles)
+
+    # Stable sort by tile id keeps depth order within each tile.
+    pair_order = jnp.argsort(tile_id, stable=True)
+    tile_sorted = tile_id[pair_order]
+    gauss_sorted = order[owner[pair_order]]   # original gaussian indices
+
+    tids = jnp.arange(cfg.num_tiles, dtype=jnp.int32)
+    starts = jnp.searchsorted(tile_sorted, tids, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(tile_sorted, tids, side="right").astype(jnp.int32)
+    full_counts = ends - starts
+    counts = jnp.minimum(full_counts, cfg.tile_cap)
+
+    slot_idx = starts[:, None] + jnp.arange(cfg.tile_cap, dtype=jnp.int32)[None, :]
+    in_range = jnp.arange(cfg.tile_cap, dtype=jnp.int32)[None, :] < counts[:, None]
+    gidx = jnp.where(in_range,
+                     gauss_sorted[jnp.clip(slot_idx, 0, cfg.pair_cap - 1)], -1)
+
+    return BinnedTiles(
+        gidx=gidx.astype(jnp.int32),
+        counts=counts,
+        num_pairs=total,
+        dropped_pairs=jnp.maximum(total - cfg.pair_cap, 0),
+        dropped_tile=jnp.maximum(full_counts - cfg.tile_cap, 0).sum(),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blend: custom-VJP alpha compositing over per-tile lists
+# ---------------------------------------------------------------------------
+
+def _tile_pixel_coords(cfg: RasterConfig):
+    """(num_tiles, P) pixel-center x and y coordinates."""
+    t = cfg.tile_size
+    ty, tx = np.divmod(np.arange(cfg.num_tiles), cfg.grid_x)
+    oy, ox = np.divmod(np.arange(cfg.pixels_per_tile), t)
+    px = tx[:, None] * t + ox[None, :]
+    py = ty[:, None] * t + oy[None, :]
+    return (jnp.asarray(px, jnp.float32), jnp.asarray(py, jnp.float32))
+
+
+def _gather_chunks(gidx, attrs, cfg: RasterConfig):
+    """Gather per-pair attributes, shaped (n_chunks, num_tiles, K, D)."""
+    pix, conic, color, opacity, depth = attrs
+    idx = jnp.maximum(gidx, 0)
+    mask = (gidx >= 0).astype(jnp.float32)
+
+    def shape(x, d):
+        x = x.reshape(cfg.num_tiles, -1, cfg.chunk, d) if d else \
+            x.reshape(cfg.num_tiles, -1, cfg.chunk)
+        return jnp.moveaxis(x, 1, 0)
+
+    g_pix = shape(pix[idx], 2)
+    g_conic = shape(conic[idx], 3)
+    g_color = shape(color[idx], 3)
+    g_op = shape(opacity[idx] * mask, 0)   # masked-out slots get alpha 0
+    g_depth = shape(depth[idx], 0)
+    return g_pix, g_conic, g_color, g_op, g_depth
+
+
+def _chunk_weights(c_pix, c_conic, c_op, px, py, t_in):
+    """Per-chunk alpha/weight math shared by forward and backward.
+
+    Shapes: c_* are (num_tiles, K, d); px/py (num_tiles, P); t_in
+    (num_tiles, P). Returns (alpha_unclamped, alpha, use, w, t_out) with
+    alpha/use/w of shape (num_tiles, K, P).
+    """
+    dx = c_pix[:, :, 0:1] - px[:, None, :]               # (nt, K, P)
+    dy = c_pix[:, :, 1:2] - py[:, None, :]
+    power = (-0.5 * (c_conic[:, :, 0:1] * dx * dx
+                     + c_conic[:, :, 2:3] * dy * dy)
+             - c_conic[:, :, 1:2] * dx * dy)
+    # power > 0 is numerically possible for degenerate conics; skip (CUDA
+    # `if (power > 0) continue;`).
+    alpha_u = jnp.where(power > 0.0, 0.0,
+                        c_op[:, :, None] * jnp.exp(jnp.minimum(power, 0.0)))
+    alpha = jnp.minimum(alpha_u, ALPHA_MAX)
+    gated = alpha >= ALPHA_MIN
+    g = jnp.where(gated, alpha, 0.0)
+    cp = jnp.cumprod(1.0 - g, axis=1)
+    t_pref = t_in[:, None, :] * jnp.concatenate(
+        [jnp.ones_like(cp[:, :1]), cp[:, :-1]], axis=1)
+    use = gated & (t_pref > T_MIN)
+    au = jnp.where(use, alpha, 0.0)
+    w = au * t_pref
+    t_out = t_in * jnp.prod(1.0 - au, axis=1)
+    return alpha_u, alpha, use, w, t_out, dx, dy
+
+
+def _blend_fwd_scan(chunked, px, py, cfg: RasterConfig):
+    g_pix, g_conic, g_color, g_op, g_depth = chunked
+
+    def body(carry, xs):
+        color_acc, depth_acc, t = carry
+        c_pix, c_conic, c_color, c_op, c_depth = xs
+        _, _, _, w, t_out, _, _ = _chunk_weights(c_pix, c_conic, c_op, px, py, t)
+        color_acc = color_acc + jnp.einsum(
+            "tkp,tkc->tpc", w, c_color, preferred_element_type=jnp.float32)
+        depth_acc = depth_acc + (w * c_depth[:, :, None]).sum(axis=1)
+        return (color_acc, depth_acc, t_out), None
+
+    nt, p = cfg.num_tiles, cfg.pixels_per_tile
+    init = (jnp.zeros((nt, p, 3)), jnp.zeros((nt, p)), jnp.ones((nt, p)))
+    (color, depth, t), _ = jax.lax.scan(
+        body, init, (g_pix, g_conic, g_color, g_op, g_depth))
+    return color, depth, t
+
+
+@functools.lru_cache(maxsize=None)
+def _make_blend(cfg: RasterConfig):
+    """Build the custom-VJP blend function for a static config."""
+    px, py = _tile_pixel_coords(cfg)
+
+    def _impl(gidx, pix, conic, color, opacity, depth):
+        chunked = _gather_chunks(gidx, (pix, conic, color, opacity, depth), cfg)
+        return _blend_fwd_scan(chunked, px, py, cfg)
+
+    @jax.custom_vjp
+    def blend(gidx, pix, conic, color, opacity, depth):
+        return _impl(gidx, pix, conic, color, opacity, depth)
+
+    def blend_fwd(gidx, pix, conic, color, opacity, depth):
+        out = _impl(gidx, pix, conic, color, opacity, depth)
+        return out, (gidx, pix, conic, color, opacity, depth, out)
+
+    def blend_bwd(res, cotangents):
+        gidx, pix, conic, color, opacity, depth, out = res
+        c_final, d_final, t_final = out
+        g_color_out, g_depth_out, g_t_out = cotangents
+        chunked = _gather_chunks(gidx, (pix, conic, color, opacity, depth), cfg)
+
+        def body(carry, xs):
+            color_acc, depth_acc, t = carry
+            c_pix, c_conic, c_color, c_op, c_depth, c_gidx = xs
+            alpha_u, alpha, use, w, t_out, dx, dy = _chunk_weights(
+                c_pix, c_conic, c_op, px, py, t)
+            # Prefix accumulations *including* each slot k.
+            wc = w[..., None] * c_color[:, :, None, :]         # (nt,K,P,3)
+            wd = w * c_depth[:, :, None]
+            c_after = color_acc[:, None] + jnp.cumsum(wc, axis=1)
+            d_after = depth_acc[:, None] + jnp.cumsum(wd, axis=1)
+            # dL/dcolor_k, dL/ddepth_k (pure weights)
+            d_c = jnp.einsum("tkp,tpc->tkc", w, g_color_out,
+                             preferred_element_type=jnp.float32)
+            d_z = (w * g_depth_out[:, None, :]).sum(-1)
+            # dL/dalpha via the suffix identity (straight-through on clamp).
+            one_m_a = jnp.maximum(1.0 - alpha, 1.0 - ALPHA_MAX)
+            t_pref = jnp.where(alpha > 0, w / jnp.maximum(alpha, 1e-20), 0.0)
+            suffix_c = (c_final[:, None] - c_after) / one_m_a[..., None]
+            suffix_d = (d_final[:, None] - d_after) / one_m_a
+            da = (
+                (g_color_out[:, None]
+                 * (t_pref[..., None] * c_color[:, :, None, :] - suffix_c)
+                 ).sum(-1)
+                + g_depth_out[:, None] * (t_pref * c_depth[:, :, None] - suffix_d)
+                + g_t_out[:, None] * (-t_final[:, None] / one_m_a))
+            da = jnp.where(use, da, 0.0)
+            # Chain to opacity / power.
+            d_op = (da * jnp.where(c_op[:, :, None] > 0,
+                                   alpha_u / jnp.maximum(c_op[:, :, None], 1e-20),
+                                   0.0)).sum(-1)
+            d_pow = da * alpha_u
+            # power partials
+            d_A = (-0.5 * d_pow * dx * dx).sum(-1)
+            d_B = (-d_pow * dx * dy).sum(-1)
+            d_C = (-0.5 * d_pow * dy * dy).sum(-1)
+            d_px = (d_pow * -(c_conic[:, :, 0:1] * dx
+                              + c_conic[:, :, 1:2] * dy)).sum(-1)
+            d_py = (d_pow * -(c_conic[:, :, 2:3] * dy
+                              + c_conic[:, :, 1:2] * dx)).sum(-1)
+            grads = (jnp.stack([d_px, d_py], -1),
+                     jnp.stack([d_A, d_B, d_C], -1),
+                     d_c, d_op, d_z, c_gidx)
+            return (c_after[:, -1], d_after[:, -1], t_out), grads
+
+        nt, p = cfg.num_tiles, cfg.pixels_per_tile
+        init = (jnp.zeros((nt, p, 3)), jnp.zeros((nt, p)), jnp.ones((nt, p)))
+        gidx_chunked = jnp.moveaxis(
+            gidx.reshape(nt, -1, cfg.chunk), 1, 0)
+        _, grads = jax.lax.scan(body, init, chunked + (gidx_chunked,))
+        gp, gc, gcol, gop, gz, gidx_c = grads
+
+        # Scatter per-(tile, slot) grads back to gaussians. Padded slots have
+        # gidx == -1, which would WRAP in jnp indexing — remap to n so
+        # mode="drop" discards them.
+        n = pix.shape[0]
+        flat = jnp.moveaxis(gidx_c, 0, 1).reshape(-1)
+        flat_idx = jnp.where(flat >= 0, flat, n)
+
+        def scatter(g, d, target_shape):
+            g = jnp.moveaxis(g, 0, 1).reshape((flat_idx.shape[0],) + ((d,) if d else ()))
+            zeros = jnp.zeros(target_shape, g.dtype)
+            return zeros.at[flat_idx].add(g, mode="drop")
+        d_pix = scatter(gp, 2, (n, 2))
+        d_conic = scatter(gc, 3, (n, 3))
+        d_color = scatter(gcol, 3, (n, 3))
+        d_opacity = scatter(gop, 0, (n,))
+        d_depth = scatter(gz, 0, (n,))
+        return (None, d_pix, d_conic, d_color, d_opacity, d_depth)
+
+    blend.defvjp(blend_fwd, blend_bwd)
+    return blend
+
+
+def _untile(x: jnp.ndarray, cfg: RasterConfig):
+    """(num_tiles, P, ...) -> (H, W, ...) crop."""
+    t = cfg.tile_size
+    ch = x.shape[2:]
+    x = x.reshape((cfg.grid_y, cfg.grid_x, t, t) + ch)
+    x = jnp.moveaxis(x, 2, 1)  # (gy, t, gx, t, ...)
+    x = x.reshape((cfg.grid_y * t, cfg.grid_x * t) + ch)
+    return x[: cfg.img_height, : cfg.img_width]
+
+
+# ---------------------------------------------------------------------------
+# Public entry
+# ---------------------------------------------------------------------------
+
+def rasterize(
+    means3d: jnp.ndarray,
+    scales: jnp.ndarray,
+    quats: jnp.ndarray,
+    opacities: jnp.ndarray,     # (N,) activated
+    colors: jnp.ndarray,        # (N, 3) precomputed RGB (see render for SH)
+    camera: Camera,
+    bg: jnp.ndarray,
+    cfg: RasterConfig,
+    ndc_offset: jnp.ndarray | None = None,
+    alive: jnp.ndarray | None = None,
+    scale_modifier: float = 1.0,
+    cov3d_precomp: jnp.ndarray | None = None,
+) -> RenderOutput:
+    """Differentiable render of one camera. Matches the oracle
+    (rasterize_reference) up to float-accumulation order."""
+    proj = project_gaussians(
+        means3d, scales, quats, camera, cfg.img_width, cfg.img_height,
+        cfg.tile_size, ndc_offset=ndc_offset, alive=alive,
+        scale_modifier=scale_modifier, cov3d_precomp=cov3d_precomp)
+
+    binned = jax.tree.map(
+        jax.lax.stop_gradient,
+        bin_gaussians(jax.tree.map(jax.lax.stop_gradient, proj), cfg))
+
+    if cfg.backend == "pallas":
+        from fourdgs_tpu.ops.pallas import blend as pallas_blend
+        blend_fn = pallas_blend.make_blend(cfg)
+    else:
+        blend_fn = _make_blend(cfg)
+    color_t, depth_t, t_t = blend_fn(
+        binned.gidx, proj.pix, proj.conic, colors, opacities, proj.depth)
+
+    color = _untile(color_t, cfg) + _untile(t_t, cfg)[..., None] * bg
+    depth = _untile(depth_t, cfg)
+    alpha = 1.0 - _untile(t_t, cfg)
+    return RenderOutput(color=color, depth=depth, alpha=alpha,
+                        radii=proj.radius, visibility=proj.radius > 0)
