@@ -1,0 +1,107 @@
+"""Multi-resolution HexPlane (K-Planes) spatio-temporal feature field.
+
+Six 2D planes per scale over coordinate pairs of (x, y, z, t), bilinear
+sampling with border clamp, per-scale feature product, cross-scale concat —
+the behavioral contract of ref scene/hexplane.py:21-183. Written as pure jnp
+gather+lerp (TPU-friendly: 4 row gathers + fused FMA per plane; no
+grid_sample op needed).
+
+Plane index convention (itertools.combinations of 4 coords, ref
+hexplane.py:58): 0=(x,y) 1=(x,z) 2=(x,t) 3=(y,z) 4=(y,t) 5=(z,t);
+spatial planes = {0,1,3}, time planes = {2,4,5}. Plane `ci` over coords
+(a, b) is stored (reso_b, reso_a, C): first coord indexes the width axis.
+
+Reference quirks kept for parity:
+  * aabb rows are (max, min), so normalize maps max->-1, min->+1
+    (ref hexplane.py:19-20,152-157)
+  * timestamps are NOT aabb-normalized; t in [0,1] samples only half the
+    [-1,1] time-grid extent (ref hexplane.py:160-164)
+  * multires multipliers scale only the three spatial resolutions
+    (ref hexplane.py:128-134)
+"""
+from __future__ import annotations
+
+import dataclasses
+import itertools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+COO_COMBS = tuple(itertools.combinations(range(4), 2))
+SPACE_PLANES = (0, 1, 3)
+TIME_PLANES = (2, 4, 5)
+
+
+@dataclasses.dataclass(frozen=True)
+class HexPlaneConfig:
+    resolution: tuple[int, int, int, int] = (64, 64, 64, 25)
+    out_dim: int = 32
+    multires: tuple[int, ...] = (1, 2, 4, 8)
+    init_a: float = 0.1
+    init_b: float = 0.5
+
+    @property
+    def feat_dim(self) -> int:
+        return self.out_dim * len(self.multires)
+
+
+def init_hexplane(key: jax.Array, cfg: HexPlaneConfig) -> dict[str, Any]:
+    """Returns {'l{level}_p{ci}': (reso_b, reso_a, C)} parameter pytree.
+    Spatial planes uniform(a, b); time planes ones (ref hexplane.py:60-68)."""
+    grids = {}
+    for lvl, mult in enumerate(cfg.multires):
+        reso = [r * mult for r in cfg.resolution[:3]] + [cfg.resolution[3]]
+        for ci, (a, b) in enumerate(COO_COMBS):
+            key, sub = jax.random.split(key)
+            shape = (reso[b], reso[a], cfg.out_dim)
+            if 3 in (a, b):
+                grids[f"l{lvl}_p{ci}"] = jnp.ones(shape)
+            else:
+                grids[f"l{lvl}_p{ci}"] = jax.random.uniform(
+                    sub, shape, minval=cfg.init_a, maxval=cfg.init_b)
+    return grids
+
+
+def normalize_aabb(pts: jnp.ndarray, aabb: jnp.ndarray) -> jnp.ndarray:
+    """aabb (2,3) rows (max, min); maps max->-1, min->+1 (reference quirk)."""
+    return (pts - aabb[0]) * (2.0 / (aabb[1] - aabb[0])) - 1.0
+
+
+def bilinear_sample(plane: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Sample (H, W, C) plane at coords u (width), v (height) in [-1, 1],
+    align_corners=True with border clamp. Returns (N, C)."""
+    h, w, _ = plane.shape
+    x = jnp.clip((u + 1.0) * 0.5 * (w - 1), 0.0, w - 1)
+    y = jnp.clip((v + 1.0) * 0.5 * (h - 1), 0.0, h - 1)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    fx = (x - x0)[:, None]
+    fy = (y - y0)[:, None]
+    p00 = plane[y0, x0]
+    p01 = plane[y0, x1]
+    p10 = plane[y1, x0]
+    p11 = plane[y1, x1]
+    top = p00 * (1 - fx) + p01 * fx
+    bot = p10 * (1 - fx) + p11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def hexplane_features(
+    grids: dict[str, jnp.ndarray],
+    cfg: HexPlaneConfig,
+    pts_norm: jnp.ndarray,   # (N, 3) in [-1, 1]
+    t: jnp.ndarray,          # (N,) raw timestamps (in [0, 1] by convention)
+) -> jnp.ndarray:
+    """(N, feat_dim): per-level product over 6 planes, concat over levels."""
+    coords = jnp.concatenate([pts_norm, t[:, None]], axis=-1)  # (N, 4)
+    outs = []
+    for lvl in range(len(cfg.multires)):
+        prod = None
+        for ci, (a, b) in enumerate(COO_COMBS):
+            s = bilinear_sample(grids[f"l{lvl}_p{ci}"], coords[:, a], coords[:, b])
+            prod = s if prod is None else prod * s
+        outs.append(prod)
+    return jnp.concatenate(outs, axis=-1)

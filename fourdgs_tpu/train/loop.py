@@ -1,0 +1,304 @@
+"""Two-stage training driver (coarse static 3DGS, then fine + deformation).
+
+Orchestrates the jitted train step, adaptive densification schedule,
+opacity resets, SH-degree ramp and evaluation — the functional equivalent of
+ref train.py:41-296 (scene_reconstruction).
+
+TPU-native design notes (vs the reference):
+  * The per-camera Python render loop (ref train.py:180-192) becomes one
+    vmap over the camera batch inside a single jitted step.
+  * Gaussian buffers are fixed-capacity with an alive mask, but the LIVE
+    capacity is bucketed to the next power of two and buffers are
+    compacted+resized on the host at densify boundaries, so early training
+    (a few k points) never pays full-capacity compute. Each bucket size
+    triggers one recompile; buckets are few (log2 spread).
+  * LR schedules, loss, regularizers, optimizer update and densify stats
+    all live on-device inside the step; the host only drives the schedule.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from fourdgs_tpu.data.camera import Camera
+from fourdgs_tpu.models.deformation import DeformConfig
+from fourdgs_tpu.models.gaussians import GaussianParams
+from fourdgs_tpu.models.regularization import compute_regulation
+from fourdgs_tpu.ops import losses
+from fourdgs_tpu.ops.rasterize_tiled import RasterConfig
+from fourdgs_tpu.render.render import render
+from fourdgs_tpu.train import densify as densify_mod
+from fourdgs_tpu.train import optim
+from fourdgs_tpu.train.config import Config
+from fourdgs_tpu.train.state import TrainState, deform_config_from
+
+
+class StepAux(NamedTuple):
+    loss: jnp.ndarray
+    l1: jnp.ndarray
+    psnr: jnp.ndarray
+    image: jnp.ndarray          # first image of batch (for debug/eval)
+
+
+def raster_config_from(cfg: Config, width: int, height: int) -> RasterConfig:
+    r = cfg.raster
+    return RasterConfig(img_width=width, img_height=height,
+                        tile_size=r.tile_size, tile_cap=r.tile_cap,
+                        pair_cap=r.pair_cap, chunk=r.chunk,
+                        backend=r.backend)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("stage", "active_sh", "raster_cfg", "deform_cfg", "tx",
+                     "lambda_dssim", "reg_weights", "track_stats"))
+def train_step(state: TrainState, cameras: Camera, gts: jnp.ndarray,
+               bg: jnp.ndarray, *, stage: str, active_sh: int,
+               raster_cfg: RasterConfig, deform_cfg: DeformConfig,
+               tx, lambda_dssim: float, reg_weights: tuple,
+               track_stats: bool = True):
+    """One optimization step over a batch of cameras. Returns (state, aux)."""
+    cap = state.capacity
+
+    def loss_fn(params, ndc_offset):
+        def render_one(cam):
+            return render(params["gauss"], params["deform"], cam, bg,
+                          raster_cfg, deform_cfg, state.aabb, state.alive,
+                          active_sh, stage=stage, ndc_offset=ndc_offset)
+
+        outs = jax.vmap(render_one)(cameras)
+        imgs = outs.color
+        l1 = losses.l1_loss(imgs, gts)
+        loss = l1
+        if stage == "fine" and reg_weights[0] != 0:
+            time_w, l1_w, tv_w = reg_weights
+            loss = loss + compute_regulation(
+                params["deform"]["grid"], time_w, l1_w, tv_w)
+        if lambda_dssim != 0:
+            loss = loss + lambda_dssim * (1.0 - losses.ssim(imgs, gts))
+        psnr = losses.psnr(imgs, gts).mean()
+        return loss, (l1, psnr, outs)
+
+    ndc_offset = jnp.zeros((cap, 2))
+    (loss, (l1, psnr, outs)), (grads, ndc_grad) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True)(state.params, ndc_offset)
+
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+
+    new_state = state._replace(params=params, opt_state=opt_state,
+                               step=state.step + 1)
+    if track_stats:
+        # densification stats (ref train.py:259-262): radii max over batch,
+        # visibility any over batch, accumulate screen-space grad norms.
+        radii = outs.radii.max(axis=0)
+        visible = outs.visibility.any(axis=0)
+        gnorm = jnp.linalg.norm(ndc_grad, axis=-1)
+        new_state = new_state._replace(
+            max_radii2d=jnp.where(visible,
+                                  jnp.maximum(state.max_radii2d, radii),
+                                  state.max_radii2d),
+            xyz_gradient_accum=state.xyz_gradient_accum
+            + jnp.where(visible, gnorm, 0.0),
+            denom=state.denom + visible.astype(jnp.float32),
+        )
+    aux = StepAux(loss=loss, l1=l1, psnr=psnr, image=outs.color[0])
+    return new_state, aux
+
+
+@functools.partial(jax.jit, static_argnames=("stage", "active_sh",
+                                             "raster_cfg", "deform_cfg"))
+def eval_step(state: TrainState, camera: Camera, bg: jnp.ndarray, *,
+              stage: str, active_sh: int, raster_cfg: RasterConfig,
+              deform_cfg: DeformConfig):
+    return render(state.params["gauss"], state.params["deform"], camera, bg,
+                  raster_cfg, deform_cfg, state.aabb, state.alive, active_sh,
+                  stage=stage)
+
+
+# ---------------------------------------------------------------------------
+# Bucketed capacity management (host side)
+# ---------------------------------------------------------------------------
+
+def pick_bucket(n_alive: int, max_cap: int, min_bucket: int = 4096,
+                headroom: float = 2.0) -> int:
+    """Smallest power-of-two >= n_alive * headroom, clamped to max_cap."""
+    want = max(min_bucket, int(n_alive * headroom))
+    b = 1 << (want - 1).bit_length()
+    return min(b, max_cap)
+
+
+def compact_and_resize(state: TrainState, new_cap: int) -> TrainState:
+    """Host-side: move alive slots to the front (stable) and pad/trim every
+    per-point buffer (params, Adam moments, accum stats) to new_cap."""
+    alive = np.asarray(state.alive)
+    n_alive = int(alive.sum())
+    assert n_alive <= new_cap, (n_alive, new_cap)
+    order = np.argsort(~alive, kind="stable")
+
+    def fix(x):
+        x = np.asarray(x)[order]
+        if new_cap <= x.shape[0]:
+            return jnp.asarray(x[:new_cap])
+        pad = [(0, new_cap - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+        return jnp.asarray(np.pad(x, pad))
+
+    def fix_gauss(g: GaussianParams) -> GaussianParams:
+        out = GaussianParams(*[fix(getattr(g, f)) for f in GaussianParams._fields])
+        # keep padded rotations valid (w=1) so normalization is well-defined
+        if new_cap > n_alive:
+            rot = np.asarray(out.rotation).copy()
+            dead = np.abs(rot).sum(axis=1) == 0
+            rot[dead, 0] = 1.0
+            out = out._replace(rotation=jnp.asarray(rot))
+        return out
+
+    adam_state, lr_state = state.opt_state
+    adam_state = adam_state._replace(
+        mu={**adam_state.mu, "gauss": fix_gauss(adam_state.mu["gauss"])},
+        nu={**adam_state.nu, "gauss": fix_gauss(adam_state.nu["gauss"])},
+    )
+    return state._replace(
+        params={**state.params, "gauss": fix_gauss(state.params["gauss"])},
+        opt_state=(adam_state, lr_state),
+        alive=fix(alive),
+        xyz_gradient_accum=fix(state.xyz_gradient_accum),
+        denom=fix(state.denom),
+        max_radii2d=fix(state.max_radii2d),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stage driver
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class StageResult:
+    state: TrainState
+    history: list
+    wall_time: float
+
+
+def run_stage(
+    cfg: Config,
+    state: TrainState,
+    stage: str,
+    iterations: int,
+    stacked_cameras: Camera,          # batched Camera pytree (n_views, ...)
+    images: jnp.ndarray,              # (n_views, H, W, 3) on device
+    tx,
+    raster_cfg: RasterConfig,
+    rng: np.random.Generator,
+    key: jax.Array,
+    log_every: int = 100,
+    log_fn: Callable[[dict], None] | None = None,
+    zerostamp_view_mask: np.ndarray | None = None,
+    cameras_extent: float = 1.0,
+) -> StageResult:
+    opt = cfg.opt
+    deform_cfg = deform_config_from(cfg)
+    bg = jnp.asarray([1.0, 1.0, 1.0] if cfg.model.white_background
+                     else [0.0, 0.0, 0.0])
+    n_views = images.shape[0]
+    batch = opt.batch_size
+    extent = float(cameras_extent)
+    reg_weights = (cfg.hidden.time_smoothness_weight,
+                   cfg.hidden.l1_time_planes, cfg.hidden.plane_tv_weight)
+
+    view_pool = np.arange(n_views)
+    if zerostamp_view_mask is not None:
+        view_pool = view_pool[zerostamp_view_mask]
+    perm = rng.permutation(view_pool)
+    ptr = 0
+
+    active_sh = 0
+    history = []
+    t0 = time.perf_counter()
+    paused = 0.0
+
+    for it in range(1, iterations + 1):
+        if it % 1000 == 0 and active_sh < cfg.model.sh_degree:
+            active_sh += 1
+
+        # epoch-permutation batch sampling (reference pops without
+        # replacement from a shuffled stack, ref train.py:157-167)
+        if ptr + batch > len(perm):
+            perm = rng.permutation(view_pool)
+            ptr = 0
+        idxs = perm[ptr:ptr + batch]
+        ptr += batch
+        cams = jax.tree.map(lambda a: a[idxs], stacked_cameras)
+        gts = images[idxs]
+
+        state, aux = train_step(
+            state, cams, gts, bg, stage=stage, active_sh=active_sh,
+            raster_cfg=raster_cfg, deform_cfg=deform_cfg, tx=tx,
+            lambda_dssim=float(opt.lambda_dssim), reg_weights=reg_weights,
+            track_stats=it < opt.densify_until_iter)
+
+        # --- densification schedule (ref train.py:259-285) ---
+        if it < opt.densify_until_iter:
+            if stage == "coarse":
+                op_thresh = opt.opacity_threshold_coarse
+                dense_thresh = opt.densify_grad_threshold_coarse
+            else:
+                frac = it / opt.densify_until_iter
+                op_thresh = (opt.opacity_threshold_fine_init
+                             - frac * (opt.opacity_threshold_fine_init
+                                       - opt.opacity_threshold_fine_after))
+                dense_thresh = (opt.densify_grad_threshold_fine_init
+                                - frac * (opt.densify_grad_threshold_fine_init
+                                          - opt.densify_grad_threshold_after))
+
+            did_surgery = False
+            n_alive = int(state.alive.sum())
+            if (it > opt.densify_from_iter
+                    and it % opt.densification_interval == 0
+                    and n_alive < opt.densify_max_points):
+                size_thresh = 20 if it > opt.opacity_reset_interval else None
+                # grow bucket first so clones/splits find free slots
+                bucket = pick_bucket(n_alive, cfg.raster.capacity)
+                if bucket != state.capacity:
+                    state = compact_and_resize(state, bucket)
+                key, sub = jax.random.split(key)
+                state, dstats = densify_mod.densify(
+                    state, sub, float(dense_thresh), opt.percent_dense,
+                    extent, opt.densify_max_points)
+                did_surgery = True
+            if (it > opt.pruning_from_iter
+                    and it % opt.pruning_interval == 0
+                    and int(state.alive.sum()) > opt.prune_min_points):
+                size_thresh = 20 if it > opt.opacity_reset_interval else None
+                state = densify_mod.prune(state, float(op_thresh), extent,
+                                          size_thresh, opt.prune_min_points)
+                did_surgery = True
+            if it % opt.opacity_reset_interval == 0:
+                state = densify_mod.reset_opacity(state)
+            if did_surgery:
+                # re-bucket downward is rare; keep compact for slicing
+                bucket = pick_bucket(int(state.alive.sum()),
+                                     cfg.raster.capacity)
+                if bucket != state.capacity:
+                    state = compact_and_resize(state, bucket)
+
+        if it % log_every == 0 or it == iterations:
+            tp = time.perf_counter()
+            rec = dict(stage=stage, iter=it, loss=float(aux.loss),
+                       l1=float(aux.l1), psnr=float(aux.psnr),
+                       points=int(state.alive.sum()),
+                       capacity=state.capacity,
+                       elapsed=tp - t0 - paused)
+            history.append(rec)
+            if log_fn:
+                log_fn(rec)
+            paused += time.perf_counter() - tp
+
+    return StageResult(state=state, history=history,
+                       wall_time=time.perf_counter() - t0 - paused)

@@ -19,9 +19,6 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-from jax._src import xla_bridge  # noqa: E402
-
-xla_bridge._backend_factories.pop("tpu", None)
 assert jax.default_backend() == "cpu"
 
 import numpy as np  # noqa: E402
