@@ -1,0 +1,99 @@
+"""Benchmark: training-step throughput (rays/s, forward+backward) on one chip.
+
+Protocol: fine-stage training steps (HexPlane deformation + SH + tiled
+differentiable rasterizer + Adam) on a synthetic scene at D-NeRF geometry
+(800x800 image, batch 1, ~100k alive gaussians — the reference's typical
+operating point, its densification runs up to 360k, ref train.py:270).
+rays/s = H * W * steps / wall_time, matching the "rendered rays/s per chip
+fwd+bwd" north star in BASELINE.json.
+
+Baseline derivation (vs_baseline): the reference trains D-NeRF in 8 min on
+an RTX 3090 (ref README.md:37) over 3000 coarse + 20000 fine iterations at
+800x800 batch 1 => 23000 steps / 480 s ~= 47.9 steps/s * 640k rays
+~= 30.7M rays/s forward+backward. vs_baseline = ours / 30.7e6.
+
+Prints ONE JSON line. Env knobs: BENCH_STEPS, BENCH_POINTS, BENCH_SIZE.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+BASELINE_RAYS_PER_S = 23000 / 480.0 * 800 * 800  # reference, RTX 3090
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _look_at_camera, _synthetic_scene
+    from fourdgs_tpu.train import loop, optim, state as state_mod
+    from fourdgs_tpu.train.config import Config, RasterParams
+    from fourdgs_tpu.train.state import deform_config_from
+
+    steps = int(os.environ.get("BENCH_STEPS", 30))
+    n_points = int(os.environ.get("BENCH_POINTS", 100_000))
+    size = int(os.environ.get("BENCH_SIZE", 800))
+    backend = os.environ.get("BENCH_BACKEND", "xla")
+
+    cfg = Config()
+    cap = 1 << (n_points - 1).bit_length()
+    cfg.raster = RasterParams(capacity=cap, tile_size=16, tile_cap=768,
+                              pair_cap=1 << 21, chunk=32, backend=backend)
+    pts, cols = _synthetic_scene(n_points)
+    # compact spatial distribution so tile occupancy resembles a real scene
+    st = state_mod.create_state(jax.random.key(0), cfg, pts, cols,
+                                spatial_lr_scale=1.0)
+    st = loop.compact_and_resize(st, cap)
+    tx = optim.build_optimizer(cfg.opt, 1.0, st.params)
+    st = st._replace(opt_state=tx.init(st.params))
+
+    raster_cfg = loop.raster_config_from(cfg, size, size)
+    deform_cfg = deform_config_from(cfg)
+    camera = _look_at_camera()
+    cameras = jax.tree.map(lambda x: x[None], camera)
+    rng = np.random.default_rng(0)
+    gts = jnp.asarray(rng.uniform(0, 1, (1, size, size, 3)), jnp.float32)
+    bg = jnp.zeros(3)
+
+    def step(state):
+        return loop.train_step(
+            state, cameras, gts, bg, stage="fine", active_sh=3,
+            raster_cfg=raster_cfg, deform_cfg=deform_cfg, tx=tx,
+            lambda_dssim=0.0, reg_weights=(0.01, 1e-4, 1e-4),
+            track_stats=True)
+
+    # warmup / compile
+    st, aux = step(st)
+    jax.block_until_ready(aux.loss)
+    for _ in range(3):
+        st, aux = step(st)
+    jax.block_until_ready(aux.loss)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        st, aux = step(st)
+    jax.block_until_ready(aux.loss)
+    dt = time.perf_counter() - t0
+
+    rays_per_s = size * size * steps / dt
+    print(json.dumps({
+        "metric": "train_rays_per_s_per_chip_fwd_bwd",
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 4),
+        "detail": {
+            "steps": steps, "seconds": round(dt, 3),
+            "steps_per_s": round(steps / dt, 3),
+            "points": n_points, "image": size, "backend": backend,
+            "device": str(jax.devices()[0]),
+            "baseline_rays_per_s": round(BASELINE_RAYS_PER_S, 1),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

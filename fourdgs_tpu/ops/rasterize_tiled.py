@@ -147,15 +147,16 @@ def _tile_pixel_coords(cfg: RasterConfig):
     return (jnp.asarray(px, jnp.float32), jnp.asarray(py, jnp.float32))
 
 
-def _gather_chunks(gidx, attrs, cfg: RasterConfig):
+def _gather_chunks(gidx, attrs, cfg: RasterConfig, num_tiles: int | None = None):
     """Gather per-pair attributes, shaped (n_chunks, num_tiles, K, D)."""
+    nt = num_tiles if num_tiles is not None else cfg.num_tiles
     pix, conic, color, opacity, depth = attrs
     idx = jnp.maximum(gidx, 0)
     mask = (gidx >= 0).astype(jnp.float32)
 
     def shape(x, d):
-        x = x.reshape(cfg.num_tiles, -1, cfg.chunk, d) if d else \
-            x.reshape(cfg.num_tiles, -1, cfg.chunk)
+        x = x.reshape(nt, -1, cfg.chunk, d) if d else \
+            x.reshape(nt, -1, cfg.chunk)
         return jnp.moveaxis(x, 1, 0)
 
     g_pix = shape(pix[idx], 2)
@@ -195,7 +196,8 @@ def _chunk_weights(c_pix, c_conic, c_op, px, py, t_in):
     return alpha_u, alpha, use, w, t_out, dx, dy
 
 
-def _blend_fwd_scan(chunked, px, py, cfg: RasterConfig):
+def _blend_fwd_scan(chunked, px, py, cfg: RasterConfig,
+                    num_tiles: int | None = None):
     g_pix, g_conic, g_color, g_op, g_depth = chunked
 
     def body(carry, xs):
@@ -207,7 +209,8 @@ def _blend_fwd_scan(chunked, px, py, cfg: RasterConfig):
         depth_acc = depth_acc + (w * c_depth[:, :, None]).sum(axis=1)
         return (color_acc, depth_acc, t_out), None
 
-    nt, p = cfg.num_tiles, cfg.pixels_per_tile
+    nt = num_tiles if num_tiles is not None else cfg.num_tiles
+    p = cfg.pixels_per_tile
     init = (jnp.zeros((nt, p, 3)), jnp.zeros((nt, p)), jnp.ones((nt, p)))
     (color, depth, t), _ = jax.lax.scan(
         body, init, (g_pix, g_conic, g_color, g_op, g_depth))
@@ -216,26 +219,33 @@ def _blend_fwd_scan(chunked, px, py, cfg: RasterConfig):
 
 @functools.lru_cache(maxsize=None)
 def _make_blend(cfg: RasterConfig):
-    """Build the custom-VJP blend function for a static config."""
-    px, py = _tile_pixel_coords(cfg)
+    """Build the custom-VJP blend function for a static config.
 
-    def _impl(gidx, pix, conic, color, opacity, depth):
-        chunked = _gather_chunks(gidx, (pix, conic, color, opacity, depth), cfg)
-        return _blend_fwd_scan(chunked, px, py, cfg)
+    `gidx`, `px`, `py` are index/coordinate inputs (no gradients); the
+    blend works on ANY leading number of tiles, so callers may pass a
+    tile-sharded slice (parallel/ shards the tile axis across chips).
+    """
+
+    def _impl(gidx, px, py, pix, conic, color, opacity, depth):
+        chunked = _gather_chunks(gidx, (pix, conic, color, opacity, depth),
+                                 cfg, num_tiles=gidx.shape[0])
+        return _blend_fwd_scan(chunked, px, py, cfg, num_tiles=gidx.shape[0])
 
     @jax.custom_vjp
-    def blend(gidx, pix, conic, color, opacity, depth):
-        return _impl(gidx, pix, conic, color, opacity, depth)
+    def blend(gidx, px, py, pix, conic, color, opacity, depth):
+        return _impl(gidx, px, py, pix, conic, color, opacity, depth)
 
-    def blend_fwd(gidx, pix, conic, color, opacity, depth):
-        out = _impl(gidx, pix, conic, color, opacity, depth)
-        return out, (gidx, pix, conic, color, opacity, depth, out)
+    def blend_fwd(gidx, px, py, pix, conic, color, opacity, depth):
+        out = _impl(gidx, px, py, pix, conic, color, opacity, depth)
+        return out, (gidx, px, py, pix, conic, color, opacity, depth, out)
 
     def blend_bwd(res, cotangents):
-        gidx, pix, conic, color, opacity, depth, out = res
+        gidx, px, py, pix, conic, color, opacity, depth, out = res
+        nt = gidx.shape[0]
         c_final, d_final, t_final = out
         g_color_out, g_depth_out, g_t_out = cotangents
-        chunked = _gather_chunks(gidx, (pix, conic, color, opacity, depth), cfg)
+        chunked = _gather_chunks(gidx, (pix, conic, color, opacity, depth),
+                                 cfg, num_tiles=nt)
 
         def body(carry, xs):
             color_acc, depth_acc, t = carry
@@ -281,7 +291,7 @@ def _make_blend(cfg: RasterConfig):
                      d_c, d_op, d_z, c_gidx)
             return (c_after[:, -1], d_after[:, -1], t_out), grads
 
-        nt, p = cfg.num_tiles, cfg.pixels_per_tile
+        p = cfg.pixels_per_tile
         init = (jnp.zeros((nt, p, 3)), jnp.zeros((nt, p)), jnp.ones((nt, p)))
         gidx_chunked = jnp.moveaxis(
             gidx.reshape(nt, -1, cfg.chunk), 1, 0)
@@ -304,7 +314,7 @@ def _make_blend(cfg: RasterConfig):
         d_color = scatter(gcol, 3, (n, 3))
         d_opacity = scatter(gop, 0, (n,))
         d_depth = scatter(gz, 0, (n,))
-        return (None, d_pix, d_conic, d_color, d_opacity, d_depth)
+        return (None, None, None, d_pix, d_conic, d_color, d_opacity, d_depth)
 
     blend.defvjp(blend_fwd, blend_bwd)
     return blend
@@ -318,6 +328,20 @@ def _untile(x: jnp.ndarray, cfg: RasterConfig):
     x = jnp.moveaxis(x, 2, 1)  # (gy, t, gx, t, ...)
     x = x.reshape((cfg.grid_y * t, cfg.grid_x * t) + ch)
     return x[: cfg.img_height, : cfg.img_width]
+
+
+def tile_image(img: jnp.ndarray, cfg: RasterConfig) -> jnp.ndarray:
+    """(H, W, ...) -> (num_tiles, P, ...): inverse of _untile (pads with
+    zeros when H/W are not tile multiples). Used to shard ground-truth
+    images along the tile axis for per-tile losses."""
+    t = cfg.tile_size
+    ch = img.shape[2:]
+    pad_h = cfg.grid_y * t - img.shape[0]
+    pad_w = cfg.grid_x * t - img.shape[1]
+    img = jnp.pad(img, [(0, pad_h), (0, pad_w)] + [(0, 0)] * len(ch))
+    img = img.reshape((cfg.grid_y, t, cfg.grid_x, t) + ch)
+    img = jnp.moveaxis(img, 1, 2)
+    return img.reshape((cfg.num_tiles, t * t) + ch)
 
 
 # ---------------------------------------------------------------------------
@@ -354,8 +378,10 @@ def rasterize(
         blend_fn = pallas_blend.make_blend(cfg)
     else:
         blend_fn = _make_blend(cfg)
+    px, py = _tile_pixel_coords(cfg)
     color_t, depth_t, t_t = blend_fn(
-        binned.gidx, proj.pix, proj.conic, colors, opacities, proj.depth)
+        binned.gidx, px, py, proj.pix, proj.conic, colors, opacities,
+        proj.depth)
 
     color = _untile(color_t, cfg) + _untile(t_t, cfg)[..., None] * bg
     depth = _untile(depth_t, cfg)

@@ -1,0 +1,189 @@
+"""Multi-chip training step: shard_map over a ("data", "tile") mesh.
+
+Greenfield TPU design (the reference is single-GPU, SURVEY.md §5.8):
+
+  * cameras are data-parallel over "data" (each rank renders its slice of
+    the batch);
+  * within a camera, the rasterizer's per-tile compositing and the
+    ground-truth tiles are sharded over "tile" — the blend, the pixel loss
+    and the backward scatter of per-gaussian gradients all run on 1/n_tile
+    of the tiles per rank;
+  * parameters are replicated; their gradients arrive by the automatic
+    psum that differentiating shard_map inserts for replicated inputs
+    (pixel-loss partial sums are psummed over both axes in the forward, so
+    the loss scalar is replicated and the backward collective rides ICI).
+
+Projection + binning are currently computed replicated within a tile group
+(cheap relative to blending); sharding the sort itself is a later
+optimization documented in PLAN notes.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from fourdgs_tpu.data.camera import Camera
+from fourdgs_tpu.models.deformation import DeformConfig, deform_apply
+from fourdgs_tpu.models.gaussians import GaussianParams
+from fourdgs_tpu.models.regularization import compute_regulation
+from fourdgs_tpu.ops import sh as sh_ops
+from fourdgs_tpu.ops import transforms
+from fourdgs_tpu.ops.projection import project_gaussians
+from fourdgs_tpu.ops.rasterize_tiled import (RasterConfig, _make_blend,
+                                             _tile_pixel_coords,
+                                             bin_gaussians, tile_image)
+
+
+class ShardedAux(NamedTuple):
+    l1: jnp.ndarray
+    psnr: jnp.ndarray
+    radii: jnp.ndarray       # (cap,) max over batch
+    visible: jnp.ndarray     # (cap,) any over batch
+
+
+def _render_tiles_local(params, cfg: RasterConfig, deform_cfg: DeformConfig,
+                        aabb, alive, active_sh: int, stage: str, camera,
+                        bg, ndc_offset, n_tile: int):
+    """Per-device, per-camera: render this rank's tile slice.
+    Returns (color_tiles, t_tiles, depth_tiles, radii)."""
+    gauss: GaussianParams = params["gauss"]
+    shs = gauss.features()
+    if stage == "fine":
+        xyz, scaling, rotation, opacity, shs = deform_apply(
+            params["deform"], deform_cfg, aabb, gauss.xyz, gauss.scaling,
+            gauss.rotation, gauss.opacity, shs, camera.time)
+    else:
+        xyz, scaling, rotation, opacity = (gauss.xyz, gauss.scaling,
+                                           gauss.rotation, gauss.opacity)
+    scales = jnp.exp(scaling)
+    quats = transforms.quat_normalize(rotation)
+    opacities = jax.nn.sigmoid(opacity[:, 0])
+    dirs = xyz - camera.cam_center
+    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True),
+                              1e-8)
+    colors = sh_ops.sh_to_rgb(active_sh, shs, dirs)
+
+    proj = project_gaussians(xyz, scales, quats, camera, cfg.img_width,
+                             cfg.img_height, cfg.tile_size,
+                             ndc_offset=ndc_offset, alive=alive)
+    binned = jax.tree.map(
+        jax.lax.stop_gradient,
+        bin_gaussians(jax.tree.map(jax.lax.stop_gradient, proj), cfg))
+
+    nt_local = cfg.num_tiles // n_tile
+    rank = jax.lax.axis_index("tile")
+    start = rank * nt_local
+    gidx = jax.lax.dynamic_slice_in_dim(binned.gidx, start, nt_local, 0)
+    px_all, py_all = _tile_pixel_coords(cfg)
+    px = jax.lax.dynamic_slice_in_dim(px_all, start, nt_local, 0)
+    py = jax.lax.dynamic_slice_in_dim(py_all, start, nt_local, 0)
+
+    blend = _make_blend(cfg)
+    color_t, depth_t, t_t = blend(gidx, px, py, proj.pix, proj.conic, colors,
+                                  opacities, proj.depth)
+    color_t = color_t + t_t[..., None] * bg
+    return color_t, t_t, depth_t, proj.radius
+
+
+def make_sharded_loss(mesh: Mesh, cfg: RasterConfig,
+                      deform_cfg: DeformConfig, stage: str, active_sh: int,
+                      reg_weights: tuple):
+    """Returns loss_fn(params, ndc_offset, alive, aabb, cameras, gts_tiled,
+    bg) -> (loss, aux). cameras/gts are GLOBAL batch arrays; sharding is
+    handled inside."""
+    n_data = mesh.shape["data"]
+    n_tile = mesh.shape["tile"]
+    assert cfg.num_tiles % n_tile == 0, (cfg.num_tiles, n_tile)
+    assert cfg.img_width % cfg.tile_size == 0 and \
+        cfg.img_height % cfg.tile_size == 0, \
+        "sharded path requires tile-aligned image dims"
+    pixels_per_image = cfg.img_width * cfg.img_height
+
+    def body(params, ndc_offset, alive, aabb, cameras, gts_tiled, bg):
+        # cameras: local (B_local,) pytree; gts_tiled: (B_local, nt_local, P, 3)
+        def one(cam):
+            return _render_tiles_local(params, cfg, deform_cfg, aabb, alive,
+                                       active_sh, stage, cam, bg, ndc_offset,
+                                       n_tile)
+
+        color_t, t_t, depth_t, radii = jax.vmap(one)(cameras)
+        abs_err = jnp.abs(color_t - gts_tiled)
+        l1_partial = abs_err.sum()
+        sq_partial = ((color_t - gts_tiled) ** 2).sum(axis=(1, 2, 3))
+
+        b_local = gts_tiled.shape[0]
+        b_global = b_local * n_data
+        denom = b_global * pixels_per_image * 3
+        l1 = jax.lax.psum(l1_partial, ("data", "tile")) / denom
+
+        # per-image PSNR, then mean over the global batch
+        mse = jax.lax.psum(sq_partial, "tile") / (pixels_per_image * 3)
+        psnr = jax.lax.pmean(
+            (20.0 * jnp.log10(1.0 / jnp.sqrt(mse))).mean(), "data")
+        psnr = jax.lax.pmean(psnr, "tile")
+
+        loss = l1
+        if stage == "fine" and reg_weights[0] != 0:
+            time_w, l1_w, tv_w = reg_weights
+            loss = loss + compute_regulation(params["deform"]["grid"],
+                                             time_w, l1_w, tv_w)
+
+        radii = jax.lax.pmax(radii.max(axis=0), "data")
+        radii = jax.lax.pmax(radii, "tile")  # identical; keeps rep invariant
+        aux = ShardedAux(l1=l1, psnr=psnr, radii=radii, visible=radii > 0)
+        return loss, aux
+
+    cam_spec = jax.tree.map(lambda _: P("data"), Camera(*Camera._fields))
+    smapped = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), cam_spec, P("data", "tile"), P()),
+        out_specs=(P(), ShardedAux(l1=P(), psnr=P(), radii=P(), visible=P())),
+        check_vma=False)
+    return smapped
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "stage", "active_sh", "raster_cfg", "deform_cfg",
+                     "tx", "reg_weights"))
+def sharded_train_step(state, cameras, gts, bg, *, mesh: Mesh, stage: str,
+                       active_sh: int, raster_cfg: RasterConfig,
+                       deform_cfg: DeformConfig, tx, reg_weights: tuple):
+    """Full train step over the mesh: sharded forward/backward, replicated
+    optimizer update, densification-stat accumulation."""
+    loss_fn = make_sharded_loss(mesh, raster_cfg, deform_cfg, stage,
+                                active_sh, reg_weights)
+    cap = state.capacity
+    gts_tiled = jax.vmap(lambda im: tile_image(im, raster_cfg))(gts)
+    gts_tiled = gts_tiled.reshape(gts.shape[0], raster_cfg.num_tiles, -1, 3)
+
+    def wrapped(params, ndc_offset):
+        return loss_fn(params, ndc_offset, state.alive, state.aabb, cameras,
+                       gts_tiled, bg)
+
+    ndc_offset = jnp.zeros((cap, 2))
+    (loss, aux), (grads, ndc_grad) = jax.value_and_grad(
+        wrapped, argnums=(0, 1), has_aux=True)(state.params, ndc_offset)
+
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    gnorm = jnp.linalg.norm(ndc_grad, axis=-1)
+    new_state = state._replace(
+        params=params, opt_state=opt_state, step=state.step + 1,
+        max_radii2d=jnp.where(aux.visible,
+                              jnp.maximum(state.max_radii2d, aux.radii),
+                              state.max_radii2d),
+        xyz_gradient_accum=state.xyz_gradient_accum
+        + jnp.where(aux.visible, gnorm, 0.0),
+        denom=state.denom + aux.visible.astype(jnp.float32),
+    )
+    return new_state, loss, aux
+
+
+def sharded_loss_fn(*args, **kwargs):
+    return make_sharded_loss(*args, **kwargs)
