@@ -205,14 +205,17 @@ def add_args(parser: argparse.ArgumentParser, cfg: Config):
                 continue
             seen.add(f.name)
             default = getattr(group, f.name)
-            if isinstance(default, bool):
-                parser.add_argument(f"--{f.name}", default=None,
-                                    action="store_true")
-            elif isinstance(default, (dict, list)) or default is None:
-                continue
-            else:
-                parser.add_argument(f"--{f.name}", default=None,
-                                    type=type(default))
+            try:
+                if isinstance(default, bool):
+                    parser.add_argument(f"--{f.name}", default=None,
+                                        action="store_true")
+                elif isinstance(default, (dict, list)) or default is None:
+                    continue
+                else:
+                    parser.add_argument(f"--{f.name}", default=None,
+                                        type=type(default))
+            except argparse.ArgumentError:
+                pass  # flag already defined by the CLI itself
     return parser
 
 

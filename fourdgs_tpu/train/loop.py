@@ -201,6 +201,12 @@ def run_stage(
     log_fn: Callable[[dict], None] | None = None,
     zerostamp_view_mask: np.ndarray | None = None,
     cameras_extent: float = 1.0,
+    test_iterations: tuple = (),
+    save_iterations: tuple = (),
+    checkpoint_iterations: tuple = (),
+    on_test: Callable | None = None,
+    on_save: Callable | None = None,
+    on_checkpoint: Callable | None = None,
 ) -> StageResult:
     opt = cfg.opt
     deform_cfg = deform_config_from(cfg)
@@ -287,6 +293,20 @@ def run_stage(
                                      cfg.raster.capacity)
                 if bucket != state.capacity:
                     state = compact_and_resize(state, bucket)
+
+        # periodic eval/save/checkpoint, excluded from reported train time
+        # (the reference's pausable Timer, ref train.py:242-257)
+        if ((it in test_iterations and on_test)
+                or (it in save_iterations and on_save)
+                or (it in checkpoint_iterations and on_checkpoint)):
+            tp = time.perf_counter()
+            if it in test_iterations and on_test:
+                on_test(it, state, active_sh)
+            if it in save_iterations and on_save:
+                on_save(it, state)
+            if it in checkpoint_iterations and on_checkpoint:
+                on_checkpoint(it, state)
+            paused += time.perf_counter() - tp
 
         if it % log_every == 0 or it == iterations:
             tp = time.perf_counter()

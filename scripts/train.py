@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""Training CLI: two-stage 4DGS optimization.
+
+Usage (mirrors ref train.py:392-429):
+  python scripts/train.py -s data/dnerf/bouncingballs \
+      --configs fourdgs_tpu/configs/dnerf/bouncingballs.py --expname dnerf/bb
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser(description="4DGS-TPU training")
+    parser.add_argument("-s", "--source_path", required=True)
+    parser.add_argument("-m", "--model_path", default="")
+    parser.add_argument("--expname", default="default")
+    parser.add_argument("--configs", default="")
+    parser.add_argument("--test_iterations", nargs="+", type=int,
+                        default=[3000, 7000, 14000])
+    parser.add_argument("--save_iterations", nargs="+", type=int,
+                        default=[14000, 20000, 30000, 45000, 60000])
+    parser.add_argument("--checkpoint_iterations", nargs="+", type=int,
+                        default=[])
+    parser.add_argument("--start_checkpoint", default=None)
+    parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--seed", type=int, default=6666)
+
+    from fourdgs_tpu.train import config as config_mod
+    cfg = config_mod.Config()
+    config_mod.add_args(parser, cfg)
+    args = parser.parse_args()
+    if args.configs:
+        cfg = config_mod.apply_config_file(cfg, args.configs)
+    cfg = config_mod.apply_args(cfg, args)
+    cfg.model.source_path = os.path.abspath(args.source_path)
+    cfg.model.model_path = args.model_path or os.path.join(
+        "./output/", args.expname)
+    cfg.expname = args.expname
+    cfg.seed = args.seed
+
+    os.makedirs(cfg.model.model_path, exist_ok=True)
+    config_mod.save_cfg(cfg, os.path.join(cfg.model.model_path, "cfg_args.json"))
+
+    import jax
+    import jax.numpy as jnp
+
+    from fourdgs_tpu.data.scene import Scene
+    from fourdgs_tpu.ops import losses
+    from fourdgs_tpu.train import checkpoint, loop, optim, state as state_mod
+    from fourdgs_tpu.train.state import deform_config_from
+
+    np.random.seed(cfg.seed)
+    print(f"Loading scene from {cfg.model.source_path}")
+    scene = Scene.load(cfg.model.source_path,
+                       white_background=cfg.model.white_background,
+                       eval_split=cfg.model.eval,
+                       extension=cfg.model.extension,
+                       images=cfg.model.images or None,
+                       llffhold=cfg.model.llffhold)
+    print(f"  type={scene.dataset_type} train={len(scene.train)} "
+          f"test={len(scene.test)} extent={scene.cameras_extent:.3f}")
+
+    pcd = scene.info.point_cloud
+    key = jax.random.key(cfg.seed)
+    st = state_mod.create_state(
+        key, cfg, pcd.points, pcd.colors,
+        spatial_lr_scale=scene.cameras_extent, aabb=scene.aabb)
+    st = loop.compact_and_resize(
+        st, loop.pick_bucket(int(st.alive.sum()), cfg.raster.capacity))
+    tx = optim.build_optimizer(cfg.opt, scene.cameras_extent, st.params)
+    st = st._replace(opt_state=tx.init(st.params))
+
+    raster_cfg = loop.raster_config_from(cfg, scene.train.width,
+                                         scene.train.height)
+    deform_cfg = deform_config_from(cfg)
+    bg = jnp.asarray([1.0, 1.0, 1.0] if cfg.model.white_background
+                     else [0.0, 0.0, 0.0])
+    rng = np.random.default_rng(cfg.seed)
+    metrics_log = open(os.path.join(cfg.model.model_path, "train_log.jsonl"),
+                       "a")
+
+    def log_fn(rec):
+        print(f"[{rec['stage']} {rec['iter']}] loss={rec['loss']:.5f} "
+              f"psnr={rec['psnr']:.2f} pts={rec['points']} "
+              f"t={rec['elapsed']:.1f}s")
+        metrics_log.write(json.dumps(rec) + "\n")
+        metrics_log.flush()
+
+    def make_on_test(stage):
+        def on_test(it, state, active_sh):
+            n = min(len(scene.test), 5)
+            psnrs = []
+            for i in range(n):
+                cam = jax.tree.map(lambda a: a[i], scene.test.cameras)
+                out = loop.eval_step(state, cam, bg, stage=stage,
+                                     active_sh=active_sh,
+                                     raster_cfg=raster_cfg,
+                                     deform_cfg=deform_cfg)
+                img = jnp.clip(out.color, 0, 1)
+                psnrs.append(float(losses.psnr(img, scene.test.images[i])[0]))
+            print(f"\n[ITER {it}] Evaluating test: PSNR {np.mean(psnrs):.2f}")
+        return on_test
+
+    def make_on_save(stage):
+        def on_save(it, state):
+            path = checkpoint.save_snapshot(state, cfg.model.model_path, it,
+                                            stage)
+            print(f"\n[ITER {it}] Saved snapshot to {path}")
+        return on_save
+
+    def make_on_ckpt(stage):
+        def on_ckpt(it, state):
+            path = os.path.join(cfg.model.model_path,
+                                f"chkpnt_{stage}_{it}.npz")
+            checkpoint.save_checkpoint(state, path, it, stage)
+            print(f"\n[ITER {it}] Saved checkpoint {path}")
+        return on_ckpt
+
+    total_time = 0.0
+    stages = [("coarse", cfg.opt.coarse_iterations),
+              ("fine", cfg.opt.iterations)]
+    start_stage = 0
+    if args.start_checkpoint:
+        _, it0, stage0 = checkpoint.load_checkpoint(args.start_checkpoint, st)
+        if stage0 == "fine":
+            start_stage = 1
+            print("start from fine stage, skip coarse stage.")
+
+    for si, (stage, iters) in enumerate(stages):
+        if si < start_stage:
+            continue
+        # fresh optimizer per stage (ref train.py:46)
+        tx = optim.build_optimizer(cfg.opt, scene.cameras_extent, st.params)
+        st = st._replace(opt_state=tx.init(st.params),
+                         step=jnp.zeros([], jnp.int32))
+        if args.start_checkpoint and si == start_stage:
+            st, it0, _ = checkpoint.load_checkpoint(args.start_checkpoint, st)
+            print(f"resumed {stage} stage at iteration {it0}")
+        zmask = (scene.zerostamp_mask()
+                 if stage == "coarse" and cfg.opt.zerostamp_init else None)
+        res = loop.run_stage(
+            cfg, st, stage, iters, scene.train.cameras, scene.train.images,
+            tx, raster_cfg, rng=rng, key=jax.random.key(cfg.seed + si),
+            log_fn=log_fn, zerostamp_view_mask=zmask,
+            cameras_extent=scene.cameras_extent,
+            test_iterations=tuple(args.test_iterations),
+            save_iterations=tuple(args.save_iterations) + (iters,),
+            checkpoint_iterations=tuple(args.checkpoint_iterations),
+            on_test=make_on_test(stage), on_save=make_on_save(stage),
+            on_checkpoint=make_on_ckpt(stage))
+        st = res.state
+        total_time += res.wall_time
+        print(f"{stage} stage done in {res.wall_time:.1f}s "
+              f"({int(st.alive.sum())} points)")
+
+    print(f"\nTraining complete in {total_time:.1f}s (excl. eval/saving).")
+
+
+if __name__ == "__main__":
+    main()
