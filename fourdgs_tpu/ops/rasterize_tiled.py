@@ -45,9 +45,12 @@ class RasterConfig:
     img_height: int
     tile_size: int = 16
     tile_cap: int = 1024       # max gaussians composited per tile
-    pair_cap: int = 1 << 20    # global (gaussian, tile) pair budget
+    pair_cap: int = 1 << 20    # (gaussian, tile) pair budget (sort binner)
     chunk: int = 32            # gaussians per compositing step
     backend: str = "xla"       # "xla" | "pallas"
+    binner: str = "count"      # "count" (sort-free) | "sort"
+    bin_chunk: int = 2048      # gaussians per counting-binner scan step
+    bin_pairs_per_chunk: int = 16384  # pair slots per scan step
 
     @property
     def grid_x(self) -> int:
@@ -79,7 +82,102 @@ class BinnedTiles(NamedTuple):
 # ---------------------------------------------------------------------------
 
 def bin_gaussians(proj: Projected, cfg: RasterConfig) -> BinnedTiles:
-    """Build per-tile depth-ordered gaussian index lists with static shapes."""
+    """Per-tile depth-ordered gaussian index lists, static shapes."""
+    if cfg.binner == "count":
+        return bin_gaussians_count(proj, cfg)
+    return bin_gaussians_sort(proj, cfg)
+
+
+def bin_gaussians_count(proj: Projected, cfg: RasterConfig) -> BinnedTiles:
+    """Sort-free counting binner (the TPU-fast path).
+
+    XLA's comparison sort over a static pair budget is O(P log^2 P) and
+    dominated the step (432 ms of a 672 ms train step at 100k points).
+    This binner exploits two structural facts instead:
+      * a gaussian contributes AT MOST ONE entry per tile, and
+      * tile coverage is an axis-aligned rect of tile columns/rows,
+    so the stable in-tile rank of a gaussian is just a column prefix-count
+    of a dense (chunk, num_tiles) coverage mask — a VPU cumsum, no sort.
+
+    Scan over depth-ordered chunks of `bin_chunk` gaussians:
+      mask  M[i, t] = rect_i covers tile t      (4 iota compares)
+      rank  = running per-tile counter + column cumsum of M
+      slots = scatter gaussian ids to t * tile_cap + rank (unique dests)
+    Overflows (per-tile cap, per-chunk pair budget) are counted, and since
+    gaussians are processed near-to-far the dropped ones are the furthest.
+    """
+    n = proj.depth.shape[0]
+    nt = cfg.num_tiles
+    g = cfg.bin_chunk
+    pc = cfg.bin_pairs_per_chunk
+    n_chunks = -(-n // g)
+    pad = n_chunks * g - n
+
+    visible = proj.tiles_touched > 0
+    order = jnp.argsort(jnp.where(visible, proj.depth, jnp.inf))
+    rect_min_s = jnp.pad(proj.rect_min[order], ((0, pad), (0, 0)))
+    rect_max_s = jnp.pad(proj.rect_max[order], ((0, pad), (0, 0)))
+    touched_s = jnp.pad(proj.tiles_touched[order], (0, pad))
+    order_p = jnp.pad(order, (0, pad), constant_values=n)
+
+    # per-tile (x, y) coordinate vectors
+    tx_of_t = (jnp.arange(nt, dtype=jnp.int32) % cfg.grid_x)[None, :]
+    ty_of_t = (jnp.arange(nt, dtype=jnp.int32) // cfg.grid_x)[None, :]
+    slots = jnp.arange(pc, dtype=jnp.int32)
+
+    def chunk(c):
+        lo = c * g
+        return (jax.lax.dynamic_slice_in_dim(rect_min_s, lo, g, 0),
+                jax.lax.dynamic_slice_in_dim(rect_max_s, lo, g, 0),
+                jax.lax.dynamic_slice_in_dim(touched_s, lo, g, 0),
+                jax.lax.dynamic_slice_in_dim(order_p, lo, g, 0))
+
+    def body(carry, c):
+        counter, gidx_flat, n_drop = carry
+        rmin, rmax, touched, oidx = chunk(c)
+        # dense coverage mask + stable ranks
+        m = ((tx_of_t >= rmin[:, 0:1]) & (tx_of_t < rmax[:, 0:1])
+             & (ty_of_t >= rmin[:, 1:2]) & (ty_of_t < rmax[:, 1:2]))
+        colcum = jnp.cumsum(m.astype(jnp.int32), axis=0)
+        hist = colcum[-1]
+        # local pair expansion over the static per-chunk budget
+        off = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                               jnp.cumsum(touched, dtype=jnp.int32)])
+        total = off[-1]
+        owner = jnp.searchsorted(off, slots, side="right").astype(jnp.int32) - 1
+        owner = jnp.clip(owner, 0, g - 1)
+        valid = slots < jnp.minimum(total, pc)
+        local = slots - off[owner]
+        sx = jnp.maximum(rmax[owner, 0] - rmin[owner, 0], 1)
+        t_ids = ((rmin[owner, 1] + local // sx) * cfg.grid_x
+                 + rmin[owner, 0] + local % sx)
+        t_ids = jnp.where(valid, t_ids, 0)
+        rank = counter[t_ids] + colcum[owner, t_ids] - 1
+        ok = valid & (rank < cfg.tile_cap)
+        dest = jnp.where(ok, t_ids * cfg.tile_cap + rank,
+                         nt * cfg.tile_cap)
+        gidx_flat = gidx_flat.at[dest].set(oidx[owner], mode="drop",
+                                           unique_indices=True)
+        n_drop = n_drop + (valid & ~ok).sum() + jnp.maximum(total - pc, 0)
+        return (counter + hist, gidx_flat, n_drop), None
+
+    init = (jnp.zeros((nt,), jnp.int32),
+            jnp.full((nt * cfg.tile_cap,), -1, jnp.int32),
+            jnp.zeros((), jnp.int32))
+    (counter, gidx_flat, n_drop), _ = jax.lax.scan(
+        body, init, jnp.arange(n_chunks, dtype=jnp.int32))
+    total_pairs = proj.tiles_touched.sum()
+    return BinnedTiles(
+        gidx=gidx_flat.reshape(nt, cfg.tile_cap),
+        counts=jnp.minimum(counter, cfg.tile_cap),
+        num_pairs=total_pairs,
+        dropped_pairs=n_drop,
+        dropped_tile=jnp.maximum(counter - cfg.tile_cap, 0).sum(),
+    )
+
+
+def bin_gaussians_sort(proj: Projected, cfg: RasterConfig) -> BinnedTiles:
+    """Sort-based binner (reference semantics; kept for cross-validation)."""
     n = proj.depth.shape[0]
     visible = proj.tiles_touched > 0
 
@@ -247,16 +345,26 @@ def _make_blend(cfg: RasterConfig):
         chunked = _gather_chunks(gidx, (pix, conic, color, opacity, depth),
                                  cfg, num_tiles=nt)
 
+        # Project colors onto the incoming cotangent ONCE per (slot, pixel):
+        # the suffix identity only ever needs c . g_c and z * g_d, so the
+        # backward runs entirely on (nt, K, P) scalars — no (nt, K, P, 3)
+        # intermediates (3x memory/bandwidth saving on the hot path).
+        r_c = (c_final * g_color_out).sum(-1)     # (nt, P)
+        r_d = d_final * g_depth_out
+
         def body(carry, xs):
-            color_acc, depth_acc, t = carry
+            cg_acc, dg_acc, t = carry
             c_pix, c_conic, c_color, c_op, c_depth, c_gidx = xs
             alpha_u, alpha, use, w, t_out, dx, dy = _chunk_weights(
                 c_pix, c_conic, c_op, px, py, t)
-            # Prefix accumulations *including* each slot k.
-            wc = w[..., None] * c_color[:, :, None, :]         # (nt,K,P,3)
-            wd = w * c_depth[:, :, None]
-            c_after = color_acc[:, None] + jnp.cumsum(wc, axis=1)
-            d_after = depth_acc[:, None] + jnp.cumsum(wd, axis=1)
+            # c . g_c as three broadcast FMAs (a 3-deep einsum contraction
+            # would waste the MXU; this is pure VPU)
+            cg = (c_color[:, :, 0:1] * g_color_out[:, None, :, 0]
+                  + c_color[:, :, 1:2] * g_color_out[:, None, :, 1]
+                  + c_color[:, :, 2:3] * g_color_out[:, None, :, 2])
+            dg = c_depth[:, :, None] * g_depth_out[:, None, :]
+            after_cg = cg_acc[:, None] + jnp.cumsum(w * cg, axis=1)
+            after_dg = dg_acc[:, None] + jnp.cumsum(w * dg, axis=1)
             # dL/dcolor_k, dL/ddepth_k (pure weights)
             d_c = jnp.einsum("tkp,tpc->tkc", w, g_color_out,
                              preferred_element_type=jnp.float32)
@@ -264,14 +372,9 @@ def _make_blend(cfg: RasterConfig):
             # dL/dalpha via the suffix identity (straight-through on clamp).
             one_m_a = jnp.maximum(1.0 - alpha, 1.0 - ALPHA_MAX)
             t_pref = jnp.where(alpha > 0, w / jnp.maximum(alpha, 1e-20), 0.0)
-            suffix_c = (c_final[:, None] - c_after) / one_m_a[..., None]
-            suffix_d = (d_final[:, None] - d_after) / one_m_a
-            da = (
-                (g_color_out[:, None]
-                 * (t_pref[..., None] * c_color[:, :, None, :] - suffix_c)
-                 ).sum(-1)
-                + g_depth_out[:, None] * (t_pref * c_depth[:, :, None] - suffix_d)
-                + g_t_out[:, None] * (-t_final[:, None] / one_m_a))
+            da = (t_pref * (cg + dg)
+                  - (r_c[:, None] - after_cg + r_d[:, None] - after_dg
+                     + g_t_out[:, None] * t_final[:, None]) / one_m_a)
             da = jnp.where(use, da, 0.0)
             # Chain to opacity / power.
             d_op = (da * jnp.where(c_op[:, :, None] > 0,
@@ -289,10 +392,10 @@ def _make_blend(cfg: RasterConfig):
             grads = (jnp.stack([d_px, d_py], -1),
                      jnp.stack([d_A, d_B, d_C], -1),
                      d_c, d_op, d_z, c_gidx)
-            return (c_after[:, -1], d_after[:, -1], t_out), grads
+            return (after_cg[:, -1], after_dg[:, -1], t_out), grads
 
         p = cfg.pixels_per_tile
-        init = (jnp.zeros((nt, p, 3)), jnp.zeros((nt, p)), jnp.ones((nt, p)))
+        init = (jnp.zeros((nt, p)), jnp.zeros((nt, p)), jnp.ones((nt, p)))
         gidx_chunked = jnp.moveaxis(
             gidx.reshape(nt, -1, cfg.chunk), 1, 0)
         _, grads = jax.lax.scan(body, init, chunked + (gidx_chunked,))

@@ -228,6 +228,8 @@ def run_stage(
     history = []
     t0 = time.perf_counter()
     paused = 0.0
+    nan_check_every = 25  # device->host sync cadence for the NaN guard
+    last_good, last_good_it = None, 0
 
     for it in range(1, iterations + 1):
         if it % 1000 == 0 and active_sh < cfg.model.sh_degree:
@@ -248,6 +250,21 @@ def run_stage(
             raster_cfg=raster_cfg, deform_cfg=deform_cfg, tx=tx,
             lambda_dssim=float(opt.lambda_dssim), reg_weights=reg_weights,
             track_stats=it < opt.densify_until_iter)
+
+        # NaN guard: roll back to the last known-good state instead of the
+        # reference's full process re-exec (ref train.py:220-222).
+        if it % nan_check_every == 0:
+            if not np.isfinite(float(aux.loss)):
+                if last_good is not None:
+                    print(f"[{stage} {it}] loss non-finite; rolling back "
+                          f"{it - last_good_it} iterations")
+                    state = last_good
+                else:
+                    raise FloatingPointError(
+                        f"loss non-finite at {stage} iteration {it} with no "
+                        "good state to roll back to")
+            else:
+                last_good, last_good_it = state, it
 
         # --- densification schedule (ref train.py:259-285) ---
         if it < opt.densify_until_iter:
