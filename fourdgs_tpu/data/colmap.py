@@ -143,7 +143,18 @@ def read_images_text(path: str) -> dict[int, ColmapImage]:
 
 
 def read_points3d_binary(path: str):
-    """Returns (xyz (N,3), rgb (N,3) uint8-valued, errors (N,))."""
+    """Returns (xyz (N,3), rgb (N,3) uint8-valued, errors (N,)).
+
+    Uses the native C++ parser when built (fourdgs_tpu/native; COLMAP's
+    variable-length track records force a sequential walk that is slow in
+    Python for million-point clouds), falling back to pure Python."""
+    try:
+        from fourdgs_tpu import native
+        out = native.read_points3d_binary(path)
+        if out is not None:
+            return out
+    except (ImportError, OSError):
+        pass
     with open(path, "rb") as f:
         (num,) = _read(f, 8, "Q")
         xyz = np.empty((num, 3))

@@ -1,0 +1,291 @@
+"""Pallas TPU kernels for the per-tile alpha-compositing blend.
+
+Same numerical semantics as the XLA blend (ops/rasterize_tiled.py, spec in
+ops/rasterize_ref.py), as hand-scheduled kernels:
+
+  * grid = (num_tiles, n_chunks); chunk attribute blocks stream through
+    VMEM via the automatic pipeline while color/transmittance accumulators
+    live in VMEM scratch across the chunk axis;
+  * in-kernel layout is (K gaussians x P pixels) f32 — gaussian attributes
+    broadcast from sublane columns, pixels ride the lane axis;
+  * the order-dependent prefix transmittance is a Kogge-Stone scan over the
+    sublane (gaussian) axis via pltpu.roll — no serial per-gaussian loop;
+  * chunks whose entering transmittance is fully saturated skip their VPU
+    work (DMA is already pipelined; compute is predicated off);
+  * the backward kernel re-runs the forward recurrence with the suffix
+    identity on gradient-projected scalars and emits per-(tile, slot)
+    gradients; the scatter-add back to gaussians stays in XLA.
+
+Attribute packing (per pair slot, 16 f32 lanes):
+  [pix_x, pix_y, A, B, C, r, g, b, opacity, depth, 0...]
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fourdgs_tpu.ops.rasterize_ref import ALPHA_MAX, ALPHA_MIN, T_MIN
+
+ATTR_W = 16
+
+
+def _scan_op(x, k, op, identity):
+    """Inclusive Kogge-Stone scan along axis 0 (sublanes)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    d = 1
+    while d < k:
+        shifted = pltpu.roll(x, d, 0)
+        x = op(x, jnp.where(row >= d, shifted, identity))
+        d *= 2
+    return x
+
+
+def _chunk_math(attrs, px, py, t_in):
+    """Forward math for one chunk. attrs (K, ATTR_W); px/py/t_in (1, P).
+    Returns (K, P) tensors + (1, P) t_prod."""
+    kk = attrs.shape[0]
+    dx = attrs[:, 0:1] - px
+    dy = attrs[:, 1:2] - py
+    power = (-0.5 * (attrs[:, 2:3] * dx * dx + attrs[:, 4:5] * dy * dy)
+             - attrs[:, 3:4] * dx * dy)
+    alpha_u = jnp.where(power > 0.0, 0.0,
+                        attrs[:, 8:9] * jnp.exp(jnp.minimum(power, 0.0)))
+    alpha = jnp.minimum(alpha_u, ALPHA_MAX)
+    gated = alpha >= ALPHA_MIN
+    g = jnp.where(gated, alpha, 0.0)
+    cp_incl = _scan_op(1.0 - g, kk, jnp.multiply, 1.0)
+    row0 = jax.lax.broadcasted_iota(jnp.int32, cp_incl.shape, 0) == 0
+    cp_excl = jnp.where(row0, 1.0, pltpu.roll(cp_incl, 1, 0))
+    t_pref = t_in * cp_excl
+    use = gated & (t_pref > T_MIN)
+    au = jnp.where(use, alpha, 0.0)
+    w = au * t_pref
+    t_prod = jnp.prod(1.0 - au, axis=0, keepdims=True)
+    return alpha_u, alpha, use, w, t_pref, t_prod, dx, dy
+
+
+def _fwd_kernel(attrs_ref, px_ref, py_ref, color_ref, depth_ref, t_ref,
+                acc_c, acc_d, acc_t, *, k, n_chunks):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_c[:] = jnp.zeros_like(acc_c)
+        acc_d[:] = jnp.zeros_like(acc_d)
+        acc_t[:] = jnp.ones_like(acc_t)
+
+    t_in = acc_t[:]                      # (1, P)
+    live = jnp.max(t_in) > T_MIN
+
+    @pl.when(live)
+    def _():
+        attrs = attrs_ref[0]
+        _, _, _, w, _, t_prod, _, _ = _chunk_math(attrs, px_ref[0],
+                                                  py_ref[0], t_in)
+        rgb = [jnp.sum(w * attrs[:, 5 + c:6 + c], axis=0, keepdims=True)
+               for c in range(3)]
+        acc_c[:] = acc_c[:] + jnp.concatenate(rgb, axis=0)
+        acc_d[:] = acc_d[:] + jnp.sum(w * attrs[:, 9:10], axis=0,
+                                      keepdims=True)
+        acc_t[:] = t_in * t_prod
+
+    @pl.when(j == n_chunks - 1)
+    def _():
+        color_ref[0] = acc_c[:]
+        depth_ref[0] = acc_d[:]
+        t_ref[0] = acc_t[:]
+
+
+def _bwd_kernel(attrs_ref, px_ref, py_ref, gc_ref, gd_ref, gt_ref,
+                rc_ref, rd_ref, tfin_ref, grads_ref,
+                acc_cg, acc_dg, acc_t, *, k, n_chunks):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_cg[:] = jnp.zeros_like(acc_cg)
+        acc_dg[:] = jnp.zeros_like(acc_dg)
+        acc_t[:] = jnp.ones_like(acc_t)
+
+    t_in = acc_t[:]
+    attrs = attrs_ref[0]
+    alpha_u, alpha, use, w, t_pref, t_prod, dx, dy = _chunk_math(
+        attrs, px_ref[0], py_ref[0], t_in)
+
+    gc = gc_ref[0]           # (3, P)
+    gd = gd_ref[0]           # (1, P)
+    gt = gt_ref[0]
+    cg = (attrs[:, 5:6] * gc[0:1] + attrs[:, 6:7] * gc[1:2]
+          + attrs[:, 7:8] * gc[2:3])
+    dg = attrs[:, 9:10] * gd
+    after_cg = acc_cg[:] + _scan_op(w * cg, k, jnp.add, 0.0)
+    after_dg = acc_dg[:] + _scan_op(w * dg, k, jnp.add, 0.0)
+
+    one_m_a = jnp.maximum(1.0 - alpha, 1.0 - ALPHA_MAX)
+    da = jnp.where(
+        use,
+        t_pref * (cg + dg)
+        - (rc_ref[0] - after_cg + rd_ref[0] - after_dg
+           + gt * tfin_ref[0]) / one_m_a,
+        0.0)
+    d_op = da * jnp.where(attrs[:, 8:9] > 0,
+                          alpha_u / jnp.maximum(attrs[:, 8:9], 1e-20), 0.0)
+    d_pow = da * alpha_u
+
+    def rsum(x):
+        return jnp.sum(x, axis=1, keepdims=True)   # (K, 1)
+
+    cols = [
+        rsum(d_pow * -(attrs[:, 2:3] * dx + attrs[:, 3:4] * dy)),
+        rsum(d_pow * -(attrs[:, 4:5] * dy + attrs[:, 3:4] * dx)),
+        rsum(-0.5 * d_pow * dx * dx),
+        rsum(-d_pow * dx * dy),
+        rsum(-0.5 * d_pow * dy * dy),
+        rsum(w * gc[0:1]),
+        rsum(w * gc[1:2]),
+        rsum(w * gc[2:3]),
+        rsum(d_op),
+        rsum(w * gd),
+    ]
+    out = jnp.concatenate(
+        cols + [jnp.zeros((k, ATTR_W - len(cols)), jnp.float32)], axis=1)
+    grads_ref[0] = out
+
+    acc_cg[:] = after_cg[k - 1:k, :]
+    acc_dg[:] = after_dg[k - 1:k, :]
+    acc_t[:] = t_in * t_prod
+
+
+def _pack_attrs(gidx, pix, conic, color, opacity, depth):
+    idx = jnp.maximum(gidx, 0)
+    mask = (gidx >= 0).astype(jnp.float32)
+    cols = [pix[idx, 0], pix[idx, 1], conic[idx, 0], conic[idx, 1],
+            conic[idx, 2], color[idx, 0], color[idx, 1], color[idx, 2],
+            opacity[idx] * mask, depth[idx]]
+    attrs = jnp.stack(cols, axis=-1)
+    pad = jnp.zeros(attrs.shape[:-1] + (ATTR_W - len(cols),), attrs.dtype)
+    return jnp.concatenate([attrs, pad], axis=-1)
+
+
+@functools.lru_cache(maxsize=None)
+def make_blend(cfg):
+    """Pallas counterpart of rasterize_tiled._make_blend (same signature)."""
+    k = cfg.chunk
+    p = cfg.pixels_per_tile
+    assert cfg.tile_cap % k == 0
+    n_chunks = cfg.tile_cap // k
+    interpret = jax.default_backend() != "tpu"
+
+    def _fwd_call(attrs, px, py):
+        nt = attrs.shape[0]
+        return pl.pallas_call(
+            functools.partial(_fwd_kernel, k=k, n_chunks=n_chunks),
+            grid=(nt, n_chunks),
+            in_specs=[
+                pl.BlockSpec((1, k, ATTR_W), lambda t, j: (t, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, p), lambda t, j: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, p), lambda t, j: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 3, p), lambda t, j: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, p), lambda t, j: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, p), lambda t, j: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((nt, 3, p), jnp.float32),
+                jax.ShapeDtypeStruct((nt, 1, p), jnp.float32),
+                jax.ShapeDtypeStruct((nt, 1, p), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((3, p), jnp.float32),
+                pltpu.VMEM((1, p), jnp.float32),
+                pltpu.VMEM((1, p), jnp.float32),
+            ],
+            interpret=interpret,
+        )(attrs, px, py)
+
+    def _bwd_call(attrs, px, py, gc, gd, gt, rc, rd, tfin):
+        nt = attrs.shape[0]
+        tile1p = pl.BlockSpec((1, 1, p), lambda t, j: (t, 0, 0),
+                              memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            functools.partial(_bwd_kernel, k=k, n_chunks=n_chunks),
+            grid=(nt, n_chunks),
+            in_specs=[
+                pl.BlockSpec((1, k, ATTR_W), lambda t, j: (t, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, p), lambda t, j: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, p), lambda t, j: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3, p), lambda t, j: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                tile1p, tile1p, tile1p, tile1p, tile1p,
+            ],
+            out_specs=[
+                pl.BlockSpec((1, k, ATTR_W), lambda t, j: (t, j, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((nt, n_chunks * k, ATTR_W), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((1, p), jnp.float32),
+                pltpu.VMEM((1, p), jnp.float32),
+                pltpu.VMEM((1, p), jnp.float32),
+            ],
+            interpret=interpret,
+        )(attrs, px, py, gc, gd, gt, rc, rd, tfin)[0]
+
+    def _impl(gidx, px, py, pix, conic, color, opacity, depth):
+        attrs = _pack_attrs(gidx, pix, conic, color, opacity, depth)
+        color_t, depth_t, t_t = _fwd_call(attrs, px[:, None], py[:, None])
+        return (jnp.moveaxis(color_t, 1, 2), depth_t[:, 0], t_t[:, 0])
+
+    @jax.custom_vjp
+    def blend(gidx, px, py, pix, conic, color, opacity, depth):
+        return _impl(gidx, px, py, pix, conic, color, opacity, depth)
+
+    def blend_fwd(gidx, px, py, pix, conic, color, opacity, depth):
+        out = _impl(gidx, px, py, pix, conic, color, opacity, depth)
+        return out, (gidx, px, py, pix, conic, color, opacity, depth, out)
+
+    def blend_bwd(res, cotangents):
+        gidx, px, py, pix, conic, color, opacity, depth, out = res
+        c_final, d_final, t_final = out
+        g_c, g_d, g_t = cotangents
+        attrs = _pack_attrs(gidx, pix, conic, color, opacity, depth)
+        rc = (c_final * g_c).sum(-1)
+        rd = d_final * g_d
+        grads = _bwd_call(
+            attrs, px[:, None], py[:, None], jnp.moveaxis(g_c, 2, 1),
+            g_d[:, None], g_t[:, None], rc[:, None], rd[:, None],
+            t_final[:, None])
+        n = pix.shape[0]
+        flat = gidx.reshape(-1)
+        flat_idx = jnp.where(flat >= 0, flat, n)
+        g2 = grads.reshape(-1, ATTR_W)
+
+        def scat(cols, shape):
+            z = jnp.zeros(shape, jnp.float32)
+            return z.at[flat_idx].add(cols, mode="drop")
+
+        d_pix = scat(g2[:, 0:2], (n, 2))
+        d_conic = scat(g2[:, 2:5], (n, 3))
+        d_color = scat(g2[:, 5:8], (n, 3))
+        d_op = scat(g2[:, 8], (n,))
+        d_depth = scat(g2[:, 9], (n,))
+        return (None, None, None, d_pix, d_conic, d_color, d_op, d_depth)
+
+    blend.defvjp(blend_fwd, blend_bwd)
+    return blend

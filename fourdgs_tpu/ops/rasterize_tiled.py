@@ -140,19 +140,21 @@ def bin_gaussians_count(proj: Projected, cfg: RasterConfig) -> BinnedTiles:
              & (ty_of_t >= rmin[:, 1:2]) & (ty_of_t < rmax[:, 1:2]))
         colcum = jnp.cumsum(m.astype(jnp.int32), axis=0)
         hist = colcum[-1]
-        # local pair expansion over the static per-chunk budget
-        off = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                               jnp.cumsum(touched, dtype=jnp.int32)])
+        # local pair expansion over the static per-chunk budget; owner of
+        # each pair slot found by scatter-marks + cumsum (no binary search)
+        off = jnp.cumsum(touched, dtype=jnp.int32)
         total = off[-1]
-        owner = jnp.searchsorted(off, slots, side="right").astype(jnp.int32) - 1
-        owner = jnp.clip(owner, 0, g - 1)
+        start = jnp.concatenate([jnp.zeros((1,), jnp.int32), off[:-1]])
+        marks = jnp.zeros((pc,), jnp.int32).at[start].add(1, mode="drop")
+        owner = jnp.cumsum(marks) - 1
         valid = slots < jnp.minimum(total, pc)
-        local = slots - off[owner]
+        local = slots - start[owner]
         sx = jnp.maximum(rmax[owner, 0] - rmin[owner, 0], 1)
         t_ids = ((rmin[owner, 1] + local // sx) * cfg.grid_x
                  + rmin[owner, 0] + local % sx)
         t_ids = jnp.where(valid, t_ids, 0)
-        rank = counter[t_ids] + colcum[owner, t_ids] - 1
+        rank = (counter[t_ids]
+                + colcum.reshape(-1)[owner * nt + t_ids] - 1)
         ok = valid & (rank < cfg.tile_cap)
         dest = jnp.where(ok, t_ids * cfg.tile_cap + rank,
                          nt * cfg.tile_cap)
