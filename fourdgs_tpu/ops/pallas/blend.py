@@ -64,7 +64,8 @@ def _chunk_math(attrs, px, py, t_in):
     use = gated & (t_pref > T_MIN)
     au = jnp.where(use, alpha, 0.0)
     w = au * t_pref
-    t_prod = jnp.prod(1.0 - au, axis=0, keepdims=True)
+    # Mosaic has no reduce_prod; take the last row of a product scan.
+    t_prod = _scan_op(1.0 - au, kk, jnp.multiply, 1.0)[kk - 1:kk, :]
     return alpha_u, alpha, use, w, t_pref, t_prod, dx, dy
 
 
