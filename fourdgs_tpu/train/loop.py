@@ -207,6 +207,7 @@ def run_stage(
     on_test: Callable | None = None,
     on_save: Callable | None = None,
     on_checkpoint: Callable | None = None,
+    epoch_order_fn: Callable | None = None,
 ) -> StageResult:
     opt = cfg.opt
     deform_cfg = deform_config_from(cfg)
@@ -221,7 +222,13 @@ def run_stage(
     view_pool = np.arange(n_views)
     if zerostamp_view_mask is not None:
         view_pool = view_pool[zerostamp_view_mask]
-    perm = rng.permutation(view_pool)
+
+    def next_epoch():
+        if epoch_order_fn is not None:
+            return epoch_order_fn(rng)
+        return rng.permutation(view_pool)
+
+    perm = next_epoch()
     ptr = 0
 
     active_sh = 0
@@ -236,9 +243,10 @@ def run_stage(
             active_sh += 1
 
         # epoch-permutation batch sampling (reference pops without
-        # replacement from a shuffled stack, ref train.py:157-167)
+        # replacement from a shuffled stack, ref train.py:157-167), or a
+        # custom order (FineSampler) when epoch_order_fn is given
         if ptr + batch > len(perm):
-            perm = rng.permutation(view_pool)
+            perm = next_epoch()
             ptr = 0
         idxs = perm[ptr:ptr + batch]
         ptr += batch

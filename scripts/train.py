@@ -32,6 +32,8 @@ def main():
     parser.add_argument("--start_checkpoint", default=None)
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument("--seed", type=int, default=6666)
+    parser.add_argument("--profile", action="store_true",
+                        help="capture a jax.profiler trace of the fine stage")
 
     from fourdgs_tpu.train import config as config_mod
     cfg = config_mod.Config()
@@ -86,6 +88,11 @@ def main():
     rng = np.random.default_rng(cfg.seed)
     metrics_log = open(os.path.join(cfg.model.model_path, "train_log.jsonl"),
                        "a")
+    try:  # TensorBoard scalars when torch's writer is importable
+        from torch.utils.tensorboard import SummaryWriter
+        tb = SummaryWriter(cfg.model.model_path)
+    except Exception:
+        tb = None
 
     def log_fn(rec):
         print(f"[{rec['stage']} {rec['iter']}] loss={rec['loss']:.5f} "
@@ -93,6 +100,26 @@ def main():
               f"t={rec['elapsed']:.1f}s")
         metrics_log.write(json.dumps(rec) + "\n")
         metrics_log.flush()
+        if tb is not None:
+            s = rec["stage"]
+            tb.add_scalar(f"{s}/train_loss_patches/l1_loss", rec["l1"],
+                          rec["iter"])
+            tb.add_scalar(f"{s}/train_loss_patchestotal_loss", rec["loss"],
+                          rec["iter"])
+            tb.add_scalar(f"{s}/total_points", rec["points"], rec["iter"])
+            tb.add_scalar(f"{s}/psnr", rec["psnr"], rec["iter"])
+
+    # temporally-correlated sampling for multi-camera rigs
+    # (ref FineSampler, utils/loader_utils.py:20-52)
+    epoch_order_fn = None
+    if cfg.opt.custom_sampler:
+        from fourdgs_tpu.train.sampler import fine_sample_order
+        times = scene.train.times
+        frame_length = len(np.unique(times))
+        n_poses = max(len(scene.train) // max(frame_length, 1), 1)
+
+        def epoch_order_fn(r):
+            return fine_sample_order(len(scene.train), n_poses, r)
 
     def make_on_test(stage):
         def on_test(it, state, active_sh):
@@ -146,6 +173,9 @@ def main():
             print(f"resumed {stage} stage at iteration {it0}")
         zmask = (scene.zerostamp_mask()
                  if stage == "coarse" and cfg.opt.zerostamp_init else None)
+        if args.profile and stage == "fine":
+            jax.profiler.start_trace(
+                os.path.join(cfg.model.model_path, "trace"))
         res = loop.run_stage(
             cfg, st, stage, iters, scene.train.cameras, scene.train.images,
             tx, raster_cfg, rng=rng, key=jax.random.key(cfg.seed + si),
@@ -155,7 +185,10 @@ def main():
             save_iterations=tuple(args.save_iterations) + (iters,),
             checkpoint_iterations=tuple(args.checkpoint_iterations),
             on_test=make_on_test(stage), on_save=make_on_save(stage),
-            on_checkpoint=make_on_ckpt(stage))
+            on_checkpoint=make_on_ckpt(stage),
+            epoch_order_fn=None if stage == "coarse" else epoch_order_fn)
+        if args.profile and stage == "fine":
+            jax.profiler.stop_trace()
         st = res.state
         total_time += res.wall_time
         print(f"{stage} stage done in {res.wall_time:.1f}s "
