@@ -34,38 +34,39 @@ ATTR_W = 16
 
 
 def _scan_op(x, k, op, identity):
-    """Inclusive Kogge-Stone scan along axis 0 (sublanes)."""
-    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    """Inclusive Kogge-Stone scan along axis 1 (the gaussian/sublane axis
+    of (T, K, P) blocks)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     d = 1
     while d < k:
-        shifted = pltpu.roll(x, d, 0)
+        shifted = pltpu.roll(x, d, 1)
         x = op(x, jnp.where(row >= d, shifted, identity))
         d *= 2
     return x
 
 
 def _chunk_math(attrs, px, py, t_in):
-    """Forward math for one chunk. attrs (K, ATTR_W); px/py/t_in (1, P).
-    Returns (K, P) tensors + (1, P) t_prod."""
-    kk = attrs.shape[0]
-    dx = attrs[:, 0:1] - px
-    dy = attrs[:, 1:2] - py
-    power = (-0.5 * (attrs[:, 2:3] * dx * dx + attrs[:, 4:5] * dy * dy)
-             - attrs[:, 3:4] * dx * dy)
+    """Forward math for one chunk block. attrs (T, K, ATTR_W); px/py/t_in
+    (T, 1, P). Returns (T, K, P) tensors + (T, 1, P) t_prod."""
+    kk = attrs.shape[1]
+    dx = attrs[:, :, 0:1] - px
+    dy = attrs[:, :, 1:2] - py
+    power = (-0.5 * (attrs[:, :, 2:3] * dx * dx + attrs[:, :, 4:5] * dy * dy)
+             - attrs[:, :, 3:4] * dx * dy)
     alpha_u = jnp.where(power > 0.0, 0.0,
-                        attrs[:, 8:9] * jnp.exp(jnp.minimum(power, 0.0)))
+                        attrs[:, :, 8:9] * jnp.exp(jnp.minimum(power, 0.0)))
     alpha = jnp.minimum(alpha_u, ALPHA_MAX)
     gated = alpha >= ALPHA_MIN
     g = jnp.where(gated, alpha, 0.0)
     cp_incl = _scan_op(1.0 - g, kk, jnp.multiply, 1.0)
-    row0 = jax.lax.broadcasted_iota(jnp.int32, cp_incl.shape, 0) == 0
-    cp_excl = jnp.where(row0, 1.0, pltpu.roll(cp_incl, 1, 0))
+    row0 = jax.lax.broadcasted_iota(jnp.int32, cp_incl.shape, 1) == 0
+    cp_excl = jnp.where(row0, 1.0, pltpu.roll(cp_incl, 1, 1))
     t_pref = t_in * cp_excl
     use = gated & (t_pref > T_MIN)
     au = jnp.where(use, alpha, 0.0)
     w = au * t_pref
     # Mosaic has no reduce_prod; take the last row of a product scan.
-    t_prod = _scan_op(1.0 - au, kk, jnp.multiply, 1.0)[kk - 1:kk, :]
+    t_prod = _scan_op(1.0 - au, kk, jnp.multiply, 1.0)[:, kk - 1:kk, :]
     return alpha_u, alpha, use, w, t_pref, t_prod, dx, dy
 
 
@@ -79,26 +80,26 @@ def _fwd_kernel(attrs_ref, px_ref, py_ref, color_ref, depth_ref, t_ref,
         acc_d[:] = jnp.zeros_like(acc_d)
         acc_t[:] = jnp.ones_like(acc_t)
 
-    t_in = acc_t[:]                      # (1, P)
+    t_in = acc_t[:]                      # (T, 1, P)
     live = jnp.max(t_in) > T_MIN
 
     @pl.when(live)
     def _():
-        attrs = attrs_ref[0]
-        _, _, _, w, _, t_prod, _, _ = _chunk_math(attrs, px_ref[0],
-                                                  py_ref[0], t_in)
-        rgb = [jnp.sum(w * attrs[:, 5 + c:6 + c], axis=0, keepdims=True)
+        attrs = attrs_ref[:]
+        _, _, _, w, _, t_prod, _, _ = _chunk_math(attrs, px_ref[:],
+                                                  py_ref[:], t_in)
+        rgb = [jnp.sum(w * attrs[:, :, 5 + c:6 + c], axis=1, keepdims=True)
                for c in range(3)]
-        acc_c[:] = acc_c[:] + jnp.concatenate(rgb, axis=0)
-        acc_d[:] = acc_d[:] + jnp.sum(w * attrs[:, 9:10], axis=0,
+        acc_c[:] = acc_c[:] + jnp.concatenate(rgb, axis=1)
+        acc_d[:] = acc_d[:] + jnp.sum(w * attrs[:, :, 9:10], axis=1,
                                       keepdims=True)
         acc_t[:] = t_in * t_prod
 
     @pl.when(j == n_chunks - 1)
     def _():
-        color_ref[0] = acc_c[:]
-        depth_ref[0] = acc_d[:]
-        t_ref[0] = acc_t[:]
+        color_ref[:] = acc_c[:]
+        depth_ref[:] = acc_d[:]
+        t_ref[:] = acc_t[:]
 
 
 def _bwd_kernel(attrs_ref, px_ref, py_ref, gc_ref, gd_ref, gt_ref,
@@ -113,16 +114,16 @@ def _bwd_kernel(attrs_ref, px_ref, py_ref, gc_ref, gd_ref, gt_ref,
         acc_t[:] = jnp.ones_like(acc_t)
 
     t_in = acc_t[:]
-    attrs = attrs_ref[0]
+    attrs = attrs_ref[:]
     alpha_u, alpha, use, w, t_pref, t_prod, dx, dy = _chunk_math(
-        attrs, px_ref[0], py_ref[0], t_in)
+        attrs, px_ref[:], py_ref[:], t_in)
 
-    gc = gc_ref[0]           # (3, P)
-    gd = gd_ref[0]           # (1, P)
-    gt = gt_ref[0]
-    cg = (attrs[:, 5:6] * gc[0:1] + attrs[:, 6:7] * gc[1:2]
-          + attrs[:, 7:8] * gc[2:3])
-    dg = attrs[:, 9:10] * gd
+    gc = gc_ref[:]           # (T, 3, P)
+    gd = gd_ref[:]           # (T, 1, P)
+    gt = gt_ref[:]
+    cg = (attrs[:, :, 5:6] * gc[:, 0:1] + attrs[:, :, 6:7] * gc[:, 1:2]
+          + attrs[:, :, 7:8] * gc[:, 2:3])
+    dg = attrs[:, :, 9:10] * gd
     after_cg = acc_cg[:] + _scan_op(w * cg, k, jnp.add, 0.0)
     after_dg = acc_dg[:] + _scan_op(w * dg, k, jnp.add, 0.0)
 
@@ -130,34 +131,36 @@ def _bwd_kernel(attrs_ref, px_ref, py_ref, gc_ref, gd_ref, gt_ref,
     da = jnp.where(
         use,
         t_pref * (cg + dg)
-        - (rc_ref[0] - after_cg + rd_ref[0] - after_dg
-           + gt * tfin_ref[0]) / one_m_a,
+        - (rc_ref[:] - after_cg + rd_ref[:] - after_dg
+           + gt * tfin_ref[:]) / one_m_a,
         0.0)
-    d_op = da * jnp.where(attrs[:, 8:9] > 0,
-                          alpha_u / jnp.maximum(attrs[:, 8:9], 1e-20), 0.0)
+    d_op = da * jnp.where(attrs[:, :, 8:9] > 0,
+                          alpha_u / jnp.maximum(attrs[:, :, 8:9], 1e-20), 0.0)
     d_pow = da * alpha_u
 
     def rsum(x):
-        return jnp.sum(x, axis=1, keepdims=True)   # (K, 1)
+        return jnp.sum(x, axis=2, keepdims=True)   # (T, K, 1)
 
     cols = [
-        rsum(d_pow * -(attrs[:, 2:3] * dx + attrs[:, 3:4] * dy)),
-        rsum(d_pow * -(attrs[:, 4:5] * dy + attrs[:, 3:4] * dx)),
+        rsum(d_pow * -(attrs[:, :, 2:3] * dx + attrs[:, :, 3:4] * dy)),
+        rsum(d_pow * -(attrs[:, :, 4:5] * dy + attrs[:, :, 3:4] * dx)),
         rsum(-0.5 * d_pow * dx * dx),
         rsum(-d_pow * dx * dy),
         rsum(-0.5 * d_pow * dy * dy),
-        rsum(w * gc[0:1]),
-        rsum(w * gc[1:2]),
-        rsum(w * gc[2:3]),
+        rsum(w * gc[:, 0:1]),
+        rsum(w * gc[:, 1:2]),
+        rsum(w * gc[:, 2:3]),
         rsum(d_op),
         rsum(w * gd),
     ]
+    t_blk = attrs.shape[0]
     out = jnp.concatenate(
-        cols + [jnp.zeros((k, ATTR_W - len(cols)), jnp.float32)], axis=1)
-    grads_ref[0] = out
+        cols + [jnp.zeros((t_blk, k, ATTR_W - len(cols)), jnp.float32)],
+        axis=2)
+    grads_ref[:] = out
 
-    acc_cg[:] = after_cg[k - 1:k, :]
-    acc_dg[:] = after_dg[k - 1:k, :]
+    acc_cg[:] = after_cg[:, k - 1:k, :]
+    acc_dg[:] = after_dg[:, k - 1:k, :]
     acc_t[:] = t_in * t_prod
 
 
@@ -179,74 +182,90 @@ def make_blend(cfg):
     p = cfg.pixels_per_tile
     assert cfg.tile_cap % k == 0
     n_chunks = cfg.tile_cap // k
+    t_blk = 8   # tiles per grid step (amortizes per-step overhead)
     interpret = jax.default_backend() != "tpu"
 
+    def _pad_tiles(x):
+        nt = x.shape[0]
+        pad = (-nt) % t_blk
+        if pad == 0:
+            return x, nt
+        return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1)), nt
+
     def _fwd_call(attrs, px, py):
-        nt = attrs.shape[0]
-        return pl.pallas_call(
+        attrs, nt = _pad_tiles(attrs)
+        px, _ = _pad_tiles(px)
+        py, _ = _pad_tiles(py)
+        ntp = attrs.shape[0]
+        out = pl.pallas_call(
             functools.partial(_fwd_kernel, k=k, n_chunks=n_chunks),
-            grid=(nt, n_chunks),
+            grid=(ntp // t_blk, n_chunks),
             in_specs=[
-                pl.BlockSpec((1, k, ATTR_W), lambda t, j: (t, j, 0),
+                pl.BlockSpec((t_blk, k, ATTR_W), lambda t, j: (t, j, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, p), lambda t, j: (t, 0, 0),
+                pl.BlockSpec((t_blk, 1, p), lambda t, j: (t, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, p), lambda t, j: (t, 0, 0),
+                pl.BlockSpec((t_blk, 1, p), lambda t, j: (t, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((1, 3, p), lambda t, j: (t, 0, 0),
+                pl.BlockSpec((t_blk, 3, p), lambda t, j: (t, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, p), lambda t, j: (t, 0, 0),
+                pl.BlockSpec((t_blk, 1, p), lambda t, j: (t, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, p), lambda t, j: (t, 0, 0),
+                pl.BlockSpec((t_blk, 1, p), lambda t, j: (t, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((nt, 3, p), jnp.float32),
-                jax.ShapeDtypeStruct((nt, 1, p), jnp.float32),
-                jax.ShapeDtypeStruct((nt, 1, p), jnp.float32),
+                jax.ShapeDtypeStruct((ntp, 3, p), jnp.float32),
+                jax.ShapeDtypeStruct((ntp, 1, p), jnp.float32),
+                jax.ShapeDtypeStruct((ntp, 1, p), jnp.float32),
             ],
             scratch_shapes=[
-                pltpu.VMEM((3, p), jnp.float32),
-                pltpu.VMEM((1, p), jnp.float32),
-                pltpu.VMEM((1, p), jnp.float32),
+                pltpu.VMEM((t_blk, 3, p), jnp.float32),
+                pltpu.VMEM((t_blk, 1, p), jnp.float32),
+                pltpu.VMEM((t_blk, 1, p), jnp.float32),
             ],
             interpret=interpret,
         )(attrs, px, py)
+        return [o[:nt] for o in out]
 
     def _bwd_call(attrs, px, py, gc, gd, gt, rc, rd, tfin):
-        nt = attrs.shape[0]
-        tile1p = pl.BlockSpec((1, 1, p), lambda t, j: (t, 0, 0),
+        attrs, nt = _pad_tiles(attrs)
+        args = [attrs]
+        for x in (px, py, gc, gd, gt, rc, rd, tfin):
+            xp, _ = _pad_tiles(x)
+            args.append(xp)
+        ntp = attrs.shape[0]
+        tile1p = pl.BlockSpec((t_blk, 1, p), lambda t, j: (t, 0, 0),
                               memory_space=pltpu.VMEM)
-        return pl.pallas_call(
+        grads = pl.pallas_call(
             functools.partial(_bwd_kernel, k=k, n_chunks=n_chunks),
-            grid=(nt, n_chunks),
+            grid=(ntp // t_blk, n_chunks),
             in_specs=[
-                pl.BlockSpec((1, k, ATTR_W), lambda t, j: (t, j, 0),
+                pl.BlockSpec((t_blk, k, ATTR_W), lambda t, j: (t, j, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, p), lambda t, j: (t, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, p), lambda t, j: (t, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 3, p), lambda t, j: (t, 0, 0),
+                tile1p, tile1p,
+                pl.BlockSpec((t_blk, 3, p), lambda t, j: (t, 0, 0),
                              memory_space=pltpu.VMEM),
                 tile1p, tile1p, tile1p, tile1p, tile1p,
             ],
             out_specs=[
-                pl.BlockSpec((1, k, ATTR_W), lambda t, j: (t, j, 0),
+                pl.BlockSpec((t_blk, k, ATTR_W), lambda t, j: (t, j, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((nt, n_chunks * k, ATTR_W), jnp.float32),
+                jax.ShapeDtypeStruct((ntp, n_chunks * k, ATTR_W),
+                                     jnp.float32),
             ],
             scratch_shapes=[
-                pltpu.VMEM((1, p), jnp.float32),
-                pltpu.VMEM((1, p), jnp.float32),
-                pltpu.VMEM((1, p), jnp.float32),
+                pltpu.VMEM((t_blk, 1, p), jnp.float32),
+                pltpu.VMEM((t_blk, 1, p), jnp.float32),
+                pltpu.VMEM((t_blk, 1, p), jnp.float32),
             ],
             interpret=interpret,
-        )(attrs, px, py, gc, gd, gt, rc, rd, tfin)[0]
+        )(*args)[0]
+        return grads[:nt]
 
     def _impl(gidx, px, py, pix, conic, color, opacity, depth):
         attrs = _pack_attrs(gidx, pix, conic, color, opacity, depth)
