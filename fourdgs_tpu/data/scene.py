@@ -79,17 +79,23 @@ def camera_from_info(info: CameraInfo) -> Camera:
     return make_camera(info.R, info.T, info.fovx, info.fovy, time=info.time)
 
 
-def _load_image(info) -> np.ndarray:
-    if isinstance(info, dict):
-        if info["image"] is not None:
-            return info["image"]
-        from PIL import Image
-        raise ValueError("panoptic camera without image")
-    if info.image is not None:
-        return info.image
+def _load_image(info, downscale: int = 1) -> np.ndarray:
     from PIL import Image
-    img = np.asarray(Image.open(info.image_path).convert("RGB"),
-                     np.float32) / 255.0
+
+    if isinstance(info, dict):
+        img = info["image"]
+        if img is None:
+            raise ValueError("panoptic camera without image")
+    elif info.image is not None:
+        img = info.image
+    else:
+        img = np.asarray(Image.open(info.image_path).convert("RGB"),
+                         np.float32) / 255.0
+    if downscale > 1:
+        h, w = img.shape[:2]
+        pil = Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8))
+        pil = pil.resize((w // downscale, h // downscale), Image.LANCZOS)
+        img = np.asarray(pil, np.float32) / 255.0
     return img
 
 
@@ -106,17 +112,22 @@ class StackedCameras:
         return int(np.asarray(self.times).shape[0])
 
 
-def stack_cameras(infos: list, with_images: bool = True) -> StackedCameras:
+def stack_cameras(infos: list, with_images: bool = True,
+                  downscale: int = 1) -> StackedCameras:
+    """Uniform downscaling keeps FoVs valid (focal scales with pixels)."""
     cams = [camera_from_info(i) for i in infos]
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
     images = None
     if with_images:
-        images = jnp.asarray(np.stack([_load_image(i) for i in infos]))
+        images = jnp.asarray(np.stack([_load_image(i, downscale)
+                                       for i in infos]))
     first = infos[0]
     if isinstance(first, dict):
         w, h = first["width"], first["height"]
     else:
         w, h = first.width, first.height
+    if downscale > 1:
+        w, h = w // downscale, h // downscale
     times = np.array([i["time"] if isinstance(i, dict) else i.time
                       for i in infos], np.float32)
     return StackedCameras(cameras=stacked, images=images, times=times,
@@ -136,12 +147,17 @@ class Scene:
     maxtime: float
 
     @classmethod
-    def load(cls, path: str, **kwargs) -> "Scene":
+    def load(cls, path: str, downscale: int = 1, **kwargs) -> "Scene":
+        """`downscale` divides image resolution (the reference's -r flag,
+        ref ModelParams.resolution)."""
         info, kind = load_scene_info(path, **kwargs)
-        train = stack_cameras(info.train_cameras, with_images=True)
-        test = (stack_cameras(info.test_cameras, with_images=True)
+        train = stack_cameras(info.train_cameras, with_images=True,
+                              downscale=downscale)
+        test = (stack_cameras(info.test_cameras, with_images=True,
+                              downscale=downscale)
                 if info.test_cameras else train)
-        video = (stack_cameras(info.video_cameras, with_images=False)
+        video = (stack_cameras(info.video_cameras, with_images=False,
+                               downscale=downscale)
                  if info.video_cameras else test)
         pts = info.point_cloud.points
         aabb = np.stack([pts.max(0), pts.min(0)]).astype(np.float32)

@@ -66,7 +66,8 @@ def main():
                        eval_split=cfg.model.eval,
                        extension=cfg.model.extension,
                        images=cfg.model.images or None,
-                       llffhold=cfg.model.llffhold)
+                       llffhold=cfg.model.llffhold,
+                       downscale=max(cfg.model.resolution, 1))
     print(f"  type={scene.dataset_type} train={len(scene.train)} "
           f"test={len(scene.test)} extent={scene.cameras_extent:.3f}")
 
