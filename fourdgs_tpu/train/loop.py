@@ -208,6 +208,7 @@ def run_stage(
     on_save: Callable | None = None,
     on_checkpoint: Callable | None = None,
     epoch_order_fn: Callable | None = None,
+    mesh=None,
 ) -> StageResult:
     opt = cfg.opt
     deform_cfg = deform_config_from(cfg)
@@ -253,11 +254,21 @@ def run_stage(
         cams = jax.tree.map(lambda a: a[idxs], stacked_cameras)
         gts = images[idxs]
 
-        state, aux = train_step(
-            state, cams, gts, bg, stage=stage, active_sh=active_sh,
-            raster_cfg=raster_cfg, deform_cfg=deform_cfg, tx=tx,
-            lambda_dssim=float(opt.lambda_dssim), reg_weights=reg_weights,
-            track_stats=it < opt.densify_until_iter)
+        if mesh is not None:
+            from fourdgs_tpu.parallel.sharded import sharded_train_step
+            state, loss, saux = sharded_train_step(
+                state, cams, gts, bg, mesh=mesh, stage=stage,
+                active_sh=active_sh, raster_cfg=raster_cfg,
+                deform_cfg=deform_cfg, tx=tx, reg_weights=reg_weights)
+            aux = StepAux(loss=loss, l1=saux.l1, psnr=saux.psnr,
+                          image=jnp.zeros((1, 1, 3)))
+        else:
+            state, aux = train_step(
+                state, cams, gts, bg, stage=stage, active_sh=active_sh,
+                raster_cfg=raster_cfg, deform_cfg=deform_cfg, tx=tx,
+                lambda_dssim=float(opt.lambda_dssim),
+                reg_weights=reg_weights,
+                track_stats=it < opt.densify_until_iter)
 
         # NaN guard: roll back to the last known-good state instead of the
         # reference's full process re-exec (ref train.py:220-222).

@@ -34,6 +34,9 @@ def main():
     parser.add_argument("--seed", type=int, default=6666)
     parser.add_argument("--profile", action="store_true",
                         help="capture a jax.profiler trace of the fine stage")
+    parser.add_argument("--mesh", default="",
+                        help="multi-chip mesh 'data,tile' (e.g. '4,2'); "
+                             "batch_size must be divisible by data")
 
     from fourdgs_tpu.train import config as config_mod
     cfg = config_mod.Config()
@@ -109,6 +112,13 @@ def main():
                           rec["iter"])
             tb.add_scalar(f"{s}/total_points", rec["points"], rec["iter"])
             tb.add_scalar(f"{s}/psnr", rec["psnr"], rec["iter"])
+
+    mesh = None
+    if args.mesh:
+        from fourdgs_tpu.parallel.mesh import make_mesh
+        n_data, n_tile = (int(x) for x in args.mesh.split(","))
+        mesh = make_mesh(n_data, n_tile)
+        print(f"training on mesh data={n_data} tile={n_tile}")
 
     # temporally-correlated sampling for multi-camera rigs
     # (ref FineSampler, utils/loader_utils.py:20-52)
@@ -187,7 +197,8 @@ def main():
             checkpoint_iterations=tuple(args.checkpoint_iterations),
             on_test=make_on_test(stage), on_save=make_on_save(stage),
             on_checkpoint=make_on_ckpt(stage),
-            epoch_order_fn=None if stage == "coarse" else epoch_order_fn)
+            epoch_order_fn=None if stage == "coarse" else epoch_order_fn,
+            mesh=mesh)
         if args.profile and stage == "fine":
             jax.profiler.stop_trace()
         st = res.state

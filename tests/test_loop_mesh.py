@@ -1,0 +1,33 @@
+"""run_stage over a mesh: the full stage driver (densify schedule included)
+must work with the sharded train step."""
+import jax
+import numpy as np
+import pytest
+
+from fourdgs_tpu.parallel import make_mesh
+from fourdgs_tpu.train import loop, optim, state as state_mod
+
+from tests.test_e2e_train import H, W, gt_data, smoke_config
+
+
+def test_run_stage_with_mesh(gt_data):
+    cams, images, true_means, true_colors = gt_data
+    cfg = smoke_config()
+    cfg.opt.batch_size = 2
+    rng = np.random.default_rng(0)
+    pts = true_means + rng.normal(0, 0.05, true_means.shape).astype(np.float32)
+    st = state_mod.create_state(jax.random.key(0), cfg, pts,
+                                np.full_like(true_colors, 0.5),
+                                spatial_lr_scale=1.0)
+    st = loop.compact_and_resize(st, 512)
+    tx = optim.build_optimizer(cfg.opt, 1.0, st.params)
+    st = st._replace(opt_state=tx.init(st.params))
+    rcfg = loop.raster_config_from(cfg, W, H)
+    mesh = make_mesh(2, 4)
+
+    res = loop.run_stage(cfg, st, "coarse", 80, cams, images, tx, rcfg,
+                         rng=np.random.default_rng(1),
+                         key=jax.random.key(2), log_every=40, mesh=mesh)
+    psnrs = [h["psnr"] for h in res.history]
+    assert np.isfinite(psnrs).all()
+    assert psnrs[-1] > psnrs[0]
