@@ -163,6 +163,33 @@ def prune(state: TrainState, min_opacity: float, extent: float,
     return state._replace(alive=alive)
 
 
+def grow(state: TrainState, key: jax.Array, displacement_scale: float = 1.0,
+         quantile: float = 0.8, max_points: int = 360_000
+         ) -> tuple[TrainState, jnp.ndarray]:
+    """Density-based point growing (the `--add_point` path, ref
+    GaussianModel.grow via utils/point_utils.py:77-130 at train.py:280-281):
+    clone sparse-region points with a KNN-scaled positional perturbation.
+    Appearance params are copied; moments of new slots reset."""
+    from fourdgs_tpu.utils.point_grow import grow_points
+
+    gauss: GaussianParams = state.params["gauss"]
+    cap = state.capacity
+    mask, new_xyz = grow_points(key, gauss.xyz, displacement_scale,
+                                quantile=quantile)
+    mask = mask & state.alive
+    room = jnp.maximum(max_points - state.alive.sum(), 0)
+    dest, ok = _alloc_free_slots(state.alive, mask)
+    ok = ok & ((jnp.cumsum(mask) - 1) < room)
+    src_vals = gauss._replace(xyz=new_xyz)
+    new_gauss = _scatter_params(gauss, src_vals, dest, ok)
+    alive = state.alive.at[jnp.where(ok, dest, cap)].set(True, mode="drop")
+    written = jnp.zeros((cap,), bool).at[
+        jnp.where(ok, dest, cap)].set(True, mode="drop")
+    opt_state = optim.reset_moments_for_slots(state.opt_state, written)
+    return state._replace(params={**state.params, "gauss": new_gauss},
+                          opt_state=opt_state, alive=alive), ok.sum()
+
+
 def reset_opacity(state: TrainState) -> TrainState:
     gauss: GaussianParams = state.params["gauss"]
     op = jax.nn.sigmoid(gauss.opacity)

@@ -321,6 +321,12 @@ def run_stage(
                 state = densify_mod.prune(state, float(op_thresh), extent,
                                           size_thresh, opt.prune_min_points)
                 did_surgery = True
+            if (opt.add_point and it % opt.densification_interval == 0
+                    and int(state.alive.sum()) < opt.densify_max_points):
+                key, sub = jax.random.split(key)
+                state, _ = densify_mod.grow(
+                    state, sub, max_points=opt.densify_max_points)
+                did_surgery = True
             if it % opt.opacity_reset_interval == 0:
                 state = densify_mod.reset_opacity(state)
             if did_surgery:

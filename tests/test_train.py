@@ -196,3 +196,17 @@ class TestBucketing:
         assert bool(st2.alive[:29].all())
         np.testing.assert_allclose(np.asarray(st2.params["gauss"].xyz[:29]),
                                    xyz_alive)
+
+
+class TestGrow:
+    def test_grow_adds_points(self):
+        import jax
+        cfg = tiny_config(cap=128)
+        st = make_state(cfg, n=32)
+        st2, n_added = densify_mod.grow(st, jax.random.key(0),
+                                        displacement_scale=1.0,
+                                        quantile=0.5, max_points=1000)
+        assert int(n_added) > 0
+        assert int(st2.alive.sum()) == 32 + int(n_added)
+        # new points inherit appearance (opacity column identical to source)
+        assert np.isfinite(np.asarray(st2.params["gauss"].xyz)).all()
