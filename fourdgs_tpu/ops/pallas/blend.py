@@ -165,14 +165,21 @@ def _bwd_kernel(attrs_ref, px_ref, py_ref, gc_ref, gd_ref, gt_ref,
 
 
 def _pack_attrs(gidx, pix, conic, color, opacity, depth):
-    idx = jnp.maximum(gidx, 0)
-    mask = (gidx >= 0).astype(jnp.float32)
-    cols = [pix[idx, 0], pix[idx, 1], conic[idx, 0], conic[idx, 1],
-            conic[idx, 2], color[idx, 0], color[idx, 1], color[idx, 2],
-            opacity[idx] * mask, depth[idx]]
-    attrs = jnp.stack(cols, axis=-1)
-    pad = jnp.zeros(attrs.shape[:-1] + (ATTR_W - len(cols),), attrs.dtype)
-    return jnp.concatenate([attrs, pad], axis=-1)
+    """Per-pair attribute blocks via ONE row gather.
+
+    Building 10 per-column gathers + a stack costs ~275 ms at production
+    scale (19M scalar gathers + a 16-lane relayout). Instead: pack a
+    (N+1, 16) per-gaussian table once (O(N)), append an all-zero sentinel
+    row for padded slots (opacity 0 == no contribution), and do a single
+    contiguous 64-byte row gather per pair slot."""
+    n = pix.shape[0]
+    table = jnp.concatenate([
+        pix, conic, color, opacity[:, None], depth[:, None],
+        jnp.zeros((n, ATTR_W - 10), jnp.float32)], axis=1)
+    table = jnp.concatenate([table, jnp.zeros((1, ATTR_W), jnp.float32)],
+                            axis=0)
+    idx = jnp.where(gidx >= 0, gidx, n)
+    return table[idx]
 
 
 @functools.lru_cache(maxsize=None)
@@ -291,21 +298,15 @@ def make_blend(cfg):
             attrs, px[:, None], py[:, None], jnp.moveaxis(g_c, 2, 1),
             g_d[:, None], g_t[:, None], rc[:, None], rd[:, None],
             t_final[:, None])
+        # one row scatter-add into a packed table (mirror of _pack_attrs)
         n = pix.shape[0]
         flat = gidx.reshape(-1)
         flat_idx = jnp.where(flat >= 0, flat, n)
         g2 = grads.reshape(-1, ATTR_W)
-
-        def scat(cols, shape):
-            z = jnp.zeros(shape, jnp.float32)
-            return z.at[flat_idx].add(cols, mode="drop")
-
-        d_pix = scat(g2[:, 0:2], (n, 2))
-        d_conic = scat(g2[:, 2:5], (n, 3))
-        d_color = scat(g2[:, 5:8], (n, 3))
-        d_op = scat(g2[:, 8], (n,))
-        d_depth = scat(g2[:, 9], (n,))
-        return (None, None, None, d_pix, d_conic, d_color, d_op, d_depth)
+        acc = jnp.zeros((n + 1, ATTR_W), jnp.float32).at[flat_idx].add(
+            g2, mode="drop")
+        return (None, None, None, acc[:n, 0:2], acc[:n, 2:5], acc[:n, 5:8],
+                acc[:n, 8], acc[:n, 9])
 
     blend.defvjp(blend_fwd, blend_bwd)
     return blend

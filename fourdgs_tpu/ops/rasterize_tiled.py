@@ -135,11 +135,12 @@ def bin_gaussians_count(proj: Projected, cfg: RasterConfig) -> BinnedTiles:
     def body(carry, c):
         counter, gidx_flat, n_drop = carry
         rmin, rmax, touched, oidx = chunk(c)
-        # dense coverage mask + stable ranks
+        # dense coverage mask + stable ranks; int16 cumsum halves the
+        # bandwidth of the dominant pass (counts per chunk <= bin_chunk)
         m = ((tx_of_t >= rmin[:, 0:1]) & (tx_of_t < rmax[:, 0:1])
              & (ty_of_t >= rmin[:, 1:2]) & (ty_of_t < rmax[:, 1:2]))
-        colcum = jnp.cumsum(m.astype(jnp.int32), axis=0)
-        hist = colcum[-1]
+        colcum = jnp.cumsum(m.astype(jnp.int16), axis=0)
+        hist = colcum[-1].astype(jnp.int32)
         # local pair expansion over the static per-chunk budget; owner of
         # each pair slot found by scatter-marks + cumsum (no binary search)
         off = jnp.cumsum(touched, dtype=jnp.int32)
@@ -154,7 +155,8 @@ def bin_gaussians_count(proj: Projected, cfg: RasterConfig) -> BinnedTiles:
                  + rmin[owner, 0] + local % sx)
         t_ids = jnp.where(valid, t_ids, 0)
         rank = (counter[t_ids]
-                + colcum.reshape(-1)[owner * nt + t_ids] - 1)
+                + colcum.reshape(-1)[owner * nt + t_ids].astype(jnp.int32)
+                - 1)
         ok = valid & (rank < cfg.tile_cap)
         dest = jnp.where(ok, t_ids * cfg.tile_cap + rank,
                          nt * cfg.tile_cap)
@@ -248,23 +250,22 @@ def _tile_pixel_coords(cfg: RasterConfig):
 
 
 def _gather_chunks(gidx, attrs, cfg: RasterConfig, num_tiles: int | None = None):
-    """Gather per-pair attributes, shaped (n_chunks, num_tiles, K, D)."""
+    """Gather per-pair attributes, shaped (n_chunks, num_tiles, K, D).
+
+    One contiguous row gather from a packed (N+1, 10) per-gaussian table
+    (sentinel zero row for padded slots) instead of five separate gathers —
+    the gather is the bandwidth hot spot of the blend wrapper."""
     nt = num_tiles if num_tiles is not None else cfg.num_tiles
     pix, conic, color, opacity, depth = attrs
-    idx = jnp.maximum(gidx, 0)
-    mask = (gidx >= 0).astype(jnp.float32)
-
-    def shape(x, d):
-        x = x.reshape(nt, -1, cfg.chunk, d) if d else \
-            x.reshape(nt, -1, cfg.chunk)
-        return jnp.moveaxis(x, 1, 0)
-
-    g_pix = shape(pix[idx], 2)
-    g_conic = shape(conic[idx], 3)
-    g_color = shape(color[idx], 3)
-    g_op = shape(opacity[idx] * mask, 0)   # masked-out slots get alpha 0
-    g_depth = shape(depth[idx], 0)
-    return g_pix, g_conic, g_color, g_op, g_depth
+    n = pix.shape[0]
+    table = jnp.concatenate(
+        [pix, conic, color, opacity[:, None], depth[:, None]], axis=1)
+    table = jnp.concatenate([table, jnp.zeros((1, 10), table.dtype)], axis=0)
+    idx = jnp.where(gidx >= 0, gidx, n)
+    rows = table[idx]                                  # (nt, cap, 10)
+    rows = jnp.moveaxis(rows.reshape(nt, -1, cfg.chunk, 10), 1, 0)
+    return (rows[..., 0:2], rows[..., 2:5], rows[..., 5:8], rows[..., 8],
+            rows[..., 9])
 
 
 def _chunk_weights(c_pix, c_conic, c_op, px, py, t_in):
@@ -403,23 +404,25 @@ def _make_blend(cfg: RasterConfig):
         _, grads = jax.lax.scan(body, init, chunked + (gidx_chunked,))
         gp, gc, gcol, gop, gz, gidx_c = grads
 
-        # Scatter per-(tile, slot) grads back to gaussians. Padded slots have
-        # gidx == -1, which would WRAP in jnp indexing — remap to n so
-        # mode="drop" discards them.
+        # Scatter per-(tile, slot) grads back to gaussians with ONE packed
+        # row scatter-add (separate per-attribute scatters are the
+        # bandwidth hot spot). Padded slots have gidx == -1, which would
+        # WRAP in jnp indexing — remap to n so mode="drop" discards them.
         n = pix.shape[0]
         flat = jnp.moveaxis(gidx_c, 0, 1).reshape(-1)
         flat_idx = jnp.where(flat >= 0, flat, n)
 
-        def scatter(g, d, target_shape):
-            g = jnp.moveaxis(g, 0, 1).reshape((flat_idx.shape[0],) + ((d,) if d else ()))
-            zeros = jnp.zeros(target_shape, g.dtype)
-            return zeros.at[flat_idx].add(g, mode="drop")
-        d_pix = scatter(gp, 2, (n, 2))
-        d_conic = scatter(gc, 3, (n, 3))
-        d_color = scatter(gcol, 3, (n, 3))
-        d_opacity = scatter(gop, 0, (n,))
-        d_depth = scatter(gz, 0, (n,))
-        return (None, None, None, d_pix, d_conic, d_color, d_opacity, d_depth)
+        def rows(g, d):
+            g = g if d else g[..., None]
+            return jnp.moveaxis(g, 0, 1).reshape(flat_idx.shape[0], -1)
+
+        packed = jnp.concatenate(
+            [rows(gp, 2), rows(gc, 3), rows(gcol, 3), rows(gop, 0),
+             rows(gz, 0)], axis=1)
+        acc = jnp.zeros((n + 1, 10), jnp.float32).at[flat_idx].add(
+            packed, mode="drop")
+        return (None, None, None, acc[:n, 0:2], acc[:n, 2:5], acc[:n, 5:8],
+                acc[:n, 8], acc[:n, 9])
 
     blend.defvjp(blend_fwd, blend_bwd)
     return blend
