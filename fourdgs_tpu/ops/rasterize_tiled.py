@@ -49,8 +49,8 @@ class RasterConfig:
     chunk: int = 32            # gaussians per compositing step
     backend: str = "xla"       # "xla" | "pallas"
     binner: str = "count"      # "count" (sort-free) | "sort"
-    bin_chunk: int = 2048      # gaussians per counting-binner scan step
-    bin_pairs_per_chunk: int = 16384  # pair slots per scan step
+    bin_chunk: int = 4096      # gaussians per counting-binner scan step
+    bin_pairs_per_chunk: int = 32768  # pair slots per scan step
 
     @property
     def grid_x(self) -> int:
@@ -142,17 +142,21 @@ def bin_gaussians_count(proj: Projected, cfg: RasterConfig) -> BinnedTiles:
         colcum = jnp.cumsum(m.astype(jnp.int16), axis=0)
         hist = colcum[-1].astype(jnp.int32)
         # local pair expansion over the static per-chunk budget; owner of
-        # each pair slot found by scatter-marks + cumsum (no binary search)
+        # each pair slot found by scatter-marks + cumsum (no binary search);
+        # all per-owner lookups ride ONE packed row gather
         off = jnp.cumsum(touched, dtype=jnp.int32)
         total = off[-1]
         start = jnp.concatenate([jnp.zeros((1,), jnp.int32), off[:-1]])
         marks = jnp.zeros((pc,), jnp.int32).at[start].add(1, mode="drop")
         owner = jnp.cumsum(marks) - 1
+        tbl = jnp.stack(
+            [start, oidx, rmin[:, 0], rmin[:, 1],
+             jnp.maximum(rmax[:, 0] - rmin[:, 0], 1)], axis=1)
+        row = tbl[owner]                       # (pc, 5) single gather
         valid = slots < jnp.minimum(total, pc)
-        local = slots - start[owner]
-        sx = jnp.maximum(rmax[owner, 0] - rmin[owner, 0], 1)
-        t_ids = ((rmin[owner, 1] + local // sx) * cfg.grid_x
-                 + rmin[owner, 0] + local % sx)
+        local = slots - row[:, 0]
+        sx = row[:, 4]
+        t_ids = (row[:, 3] + local // sx) * cfg.grid_x + row[:, 2] + local % sx
         t_ids = jnp.where(valid, t_ids, 0)
         rank = (counter[t_ids]
                 + colcum.reshape(-1)[owner * nt + t_ids].astype(jnp.int32)
@@ -160,7 +164,7 @@ def bin_gaussians_count(proj: Projected, cfg: RasterConfig) -> BinnedTiles:
         ok = valid & (rank < cfg.tile_cap)
         dest = jnp.where(ok, t_ids * cfg.tile_cap + rank,
                          nt * cfg.tile_cap)
-        gidx_flat = gidx_flat.at[dest].set(oidx[owner], mode="drop",
+        gidx_flat = gidx_flat.at[dest].set(row[:, 1], mode="drop",
                                            unique_indices=True)
         n_drop = n_drop + (valid & ~ok).sum() + jnp.maximum(total - pc, 0)
         return (counter + hist, gidx_flat, n_drop), None

@@ -144,6 +144,18 @@ def main():
                                      deform_cfg=deform_cfg)
                 img = jnp.clip(out.color, 0, 1)
                 psnrs.append(float(losses.psnr(img, scene.test.images[i])[0]))
+                if cfg.model.render_process and i == 0:
+                    # gt/render/depth triptych debug images
+                    # (ref utils/scene_utils.py:11-57 at train.py:247-254)
+                    from fourdgs_tpu.utils.visualize import \
+                        render_training_image
+                    render_training_image(
+                        os.path.join(cfg.model.model_path, "train_render",
+                                     f"{stage}test"),
+                        f"{stage}test", it, 0.0,
+                        np.asarray(scene.test.images[i]), np.asarray(img),
+                        np.asarray(out.depth),
+                        float(scene.test.times[i]))
             print(f"\n[ITER {it}] Evaluating test: PSNR {np.mean(psnrs):.2f}")
         return on_test
 
