@@ -49,6 +49,8 @@ class DeformConfig:
     no_do: bool = True
     no_dshs: bool = True
     apply_rotation: bool = False
+    empty_voxel: bool = False
+    static_mlp: bool = False
     sh_coeffs: int = 16  # (max_sh_degree+1)^2; shs head outputs sh_coeffs*3
 
 
@@ -103,7 +105,13 @@ def init_deform(key: jax.Array, cfg: DeformConfig) -> dict[str, Any]:
             "t1": _linear_init(keys[3], cfg.timenet_width, cfg.timenet_output),
         },
     }
-    return {"grid": init_hexplane(keys[4], cfg.grid), "mlp": mlp}
+    if cfg.static_mlp:
+        mlp["static"] = _head_init(keys[10], w, 1)
+    out = {"grid": init_hexplane(keys[4], cfg.grid), "mlp": mlp}
+    if cfg.empty_voxel:
+        from fourdgs_tpu.models.dense_grid import init_dense_grid
+        out["empty_voxel"] = init_dense_grid()
+    return out
 
 
 def _feature_out_apply(p, x, depth):
@@ -137,12 +145,24 @@ def deform_apply(
     hidden = _feature_out_apply(params["mlp"]["feature_out"], feat,
                                 max(cfg.defor_depth, 1))
 
+    # masking path (ref deformation.py:99-104): static_mlp head, dense
+    # empty-voxel grid, or identity ones
+    if cfg.static_mlp:
+        mask = _head_apply(params["mlp"]["static"], hidden)
+    elif cfg.empty_voxel:
+        from fourdgs_tpu.models.dense_grid import dense_grid_sample
+        from fourdgs_tpu.models.hexplane import normalize_aabb as _na
+        mask = dense_grid_sample(params["empty_voxel"], _na(xyz, aabb))
+    else:
+        mask = jnp.ones((n, 1))
+
     out_xyz = xyz
     if not cfg.no_dx:
-        out_xyz = xyz + _head_apply(params["mlp"]["pos"], hidden)
+        out_xyz = xyz * mask + _head_apply(params["mlp"]["pos"], hidden)
     out_scaling = scaling
     if not cfg.no_ds:
-        out_scaling = scaling + _head_apply(params["mlp"]["scales"], hidden)
+        out_scaling = (scaling * mask
+                       + _head_apply(params["mlp"]["scales"], hidden))
     out_rotation = rotation
     if not cfg.no_dr:
         dr = _head_apply(params["mlp"]["rotations"], hidden)
@@ -152,9 +172,10 @@ def deform_apply(
             out_rotation = rotation + dr
     out_opacity = opacity
     if not cfg.no_do:
-        out_opacity = opacity + _head_apply(params["mlp"]["opacity"], hidden)
+        out_opacity = (opacity * mask
+                       + _head_apply(params["mlp"]["opacity"], hidden))
     out_shs = shs
     if not cfg.no_dshs:
         dshs = _head_apply(params["mlp"]["shs"], hidden)
-        out_shs = shs + dshs.reshape(n, cfg.sh_coeffs, 3)
+        out_shs = shs * mask[..., None] + dshs.reshape(n, cfg.sh_coeffs, 3)
     return out_xyz, out_scaling, out_rotation, out_opacity, out_shs

@@ -34,9 +34,9 @@ def param_labels(params: dict) -> dict:
     labels: dict[str, Any] = {"gauss": GAUSS_LABELS}
     if "deform" in params:
         labels["deform"] = {
-            "grid": jax.tree.map(lambda _: "grid", params["deform"]["grid"]),
-            "mlp": jax.tree.map(lambda _: "deformation",
-                                params["deform"]["mlp"]),
+            k: jax.tree.map(
+                lambda _: "grid" if k == "grid" else "deformation", v)
+            for k, v in params["deform"].items()
         }
     return labels
 

@@ -52,6 +52,7 @@ def deform_config_from(cfg: Config) -> DeformConfig:
         timebase_pe=h.timebase_pe,
         no_dx=h.no_dx, no_grid=h.no_grid, no_ds=h.no_ds, no_dr=h.no_dr,
         no_do=h.no_do, no_dshs=h.no_dshs, apply_rotation=h.apply_rotation,
+        empty_voxel=h.empty_voxel, static_mlp=h.static_mlp,
         sh_coeffs=(cfg.model.sh_degree + 1) ** 2,
     )
 

@@ -190,3 +190,45 @@ class TestRegularization:
         # perturb one time plane -> l1 becomes positive
         grids["l0_p2"] = grids["l0_p2"] + 0.5
         assert float(regularization.l1_time_regulation(grids)) == pytest.approx(0.5)
+
+
+class TestMaskingPaths:
+    def test_static_mlp_and_empty_voxel(self):
+        import dataclasses as dc
+        base = TestDeformation.CFG
+        rng = np.random.default_rng(3)
+        n = 10
+        xyz = jnp.asarray(rng.uniform(-1, 1, (n, 3)).astype(np.float32))
+        scal = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+        rot = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+        op = jnp.asarray(rng.normal(size=(n, 1)).astype(np.float32))
+        shs = jnp.asarray(rng.normal(size=(n, 16, 3)).astype(np.float32))
+        aabb = jnp.array([[1.6] * 3, [-1.6] * 3])
+        for kwargs in ({"static_mlp": True}, {"empty_voxel": True}):
+            cfg = dc.replace(base, **kwargs)
+            params = deformation.init_deform(jax.random.key(0), cfg)
+            out = deformation.deform_apply(params, cfg, aabb, xyz, scal, rot,
+                                           op, shs, 0.5)
+            assert out[0].shape == xyz.shape
+            assert np.isfinite(np.asarray(out[0])).all()
+        # empty_voxel grid starts at zeros -> mask 0 -> xyz term suppressed
+        cfg = dc.replace(base, empty_voxel=True)
+        params = deformation.init_deform(jax.random.key(0), cfg)
+        out = deformation.deform_apply(params, cfg, aabb, xyz, scal, rot,
+                                       op, shs, 0.5)
+        dx_only = out[0]  # = 0*xyz + dx
+        assert not np.allclose(np.asarray(dx_only), np.asarray(xyz))
+
+
+class TestDenseGrid:
+    def test_trilinear_midpoint(self):
+        from fourdgs_tpu.models import dense_grid
+        g = jnp.zeros((2, 2, 2, 1)).at[1, 1, 1, 0].set(8.0)
+        out = dense_grid.dense_grid_sample(g, jnp.zeros((1, 3)))
+        assert float(out[0, 0]) == pytest.approx(1.0)  # center = mean
+
+    def test_border_clamp(self):
+        from fourdgs_tpu.models import dense_grid
+        g = jnp.arange(8.0).reshape(2, 2, 2, 1)
+        out = dense_grid.dense_grid_sample(g, jnp.array([[5.0, -5.0, 5.0]]))
+        assert float(out[0, 0]) == pytest.approx(5.0)  # (x1,y0,z1) idx 5
