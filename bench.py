@@ -37,7 +37,7 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", 30))
     n_points = int(os.environ.get("BENCH_POINTS", 100_000))
     size = int(os.environ.get("BENCH_SIZE", 800))
-    backend = os.environ.get("BENCH_BACKEND", "xla")
+    backend = os.environ.get("BENCH_BACKEND", "auto")
 
     cfg = Config()
     cap = 1 << (n_points - 1).bit_length()

@@ -47,7 +47,7 @@ class RasterConfig:
     tile_cap: int = 1024       # max gaussians composited per tile
     pair_cap: int = 1 << 20    # (gaussian, tile) pair budget (sort binner)
     chunk: int = 32            # gaussians per compositing step
-    backend: str = "xla"       # "xla" | "pallas"
+    backend: str = "auto"      # "auto" | "xla" | "pallas"
     binner: str = "count"      # "count" (sort-free) | "sort"
     bin_chunk: int = 4096      # gaussians per counting-binner scan step
     bin_pairs_per_chunk: int = 32768  # pair slots per scan step
@@ -485,7 +485,12 @@ def rasterize(
         jax.lax.stop_gradient,
         bin_gaussians(jax.tree.map(jax.lax.stop_gradient, proj), cfg))
 
-    if cfg.backend == "pallas":
+    backend = cfg.backend
+    if backend == "auto":
+        # Pallas kernels win on TPU (fwd 17ms vs 25ms XLA at 100k/800px);
+        # on CPU they would run interpreted, so use the XLA path there.
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas":
         from fourdgs_tpu.ops.pallas import blend as pallas_blend
         blend_fn = pallas_blend.make_blend(cfg)
     else:

@@ -132,7 +132,7 @@ class RasterParams:
     tile_cap: int = 1024
     pair_cap: int = 1 << 21
     chunk: int = 32
-    backend: str = "xla"         # "xla" | "pallas"
+    backend: str = "auto"        # "auto" | "xla" | "pallas"
 
 
 @dataclass
