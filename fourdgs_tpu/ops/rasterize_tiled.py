@@ -123,57 +123,77 @@ def bin_gaussians_count(proj: Projected, cfg: RasterConfig) -> BinnedTiles:
     # per-tile (x, y) coordinate vectors
     tx_of_t = (jnp.arange(nt, dtype=jnp.int32) % cfg.grid_x)[None, :]
     ty_of_t = (jnp.arange(nt, dtype=jnp.int32) // cfg.grid_x)[None, :]
-    slots = jnp.arange(pc, dtype=jnp.int32)
+
+    # ---- pair expansion, HOISTED out of the chunk scan (one set of big
+    # vectorized ops instead of per-chunk small gathers; TPU gathers have
+    # high fixed cost, so fewer+bigger wins) ----
+    total_slots = n_chunks * pc
+    off = jnp.cumsum(touched_s, dtype=jnp.int32)           # inclusive, (Np,)
+    start = jnp.concatenate([jnp.zeros((1,), jnp.int32), off[:-1]])
+    # pair start of each chunk (global pair index at chunk boundary)
+    chunk_pair_start = start[::g]                          # (n_chunks,)
+    gauss_chunk = (jnp.arange(n_chunks * g, dtype=jnp.int32) // g)
+    # each gaussian's first SLOT: chunk base + offset within chunk budget
+    g_slot0 = gauss_chunk * pc + (start - chunk_pair_start[gauss_chunk])
+    slot_in_budget = (start - chunk_pair_start[gauss_chunk]) < pc
+    marks = jnp.zeros((total_slots,), jnp.int32).at[
+        jnp.where(slot_in_budget, g_slot0, total_slots)].add(1, mode="drop")
+    owner = jnp.cumsum(marks) - 1                          # (total_slots,)
+    owner = jnp.clip(owner, 0, n_chunks * g - 1)
+    tbl = jnp.stack(
+        [g_slot0, order_p, rect_min_s[:, 0], rect_min_s[:, 1],
+         jnp.maximum(rect_max_s[:, 0] - rect_min_s[:, 0], 1),
+         touched_s], axis=1)
+    row = tbl[owner]                                       # one row gather
+    slots_g = jnp.arange(total_slots, dtype=jnp.int32)
+    local = slots_g - row[:, 0]
+    valid = (local >= 0) & (local < row[:, 5])
+    sx = row[:, 4]
+    t_ids_all = ((row[:, 3] + local // sx) * cfg.grid_x
+                 + row[:, 2] + local % sx)
+    t_ids_all = jnp.where(valid, t_ids_all, 0).reshape(n_chunks, pc)
+    oidx_all = jnp.where(valid, row[:, 1], n).reshape(n_chunks, pc)
+    owner_local_all = (owner - gauss_chunk[owner] * g).reshape(n_chunks, pc)
+    valid_all = valid.reshape(n_chunks, pc)
+    # budget overflow: pairs of a chunk beyond pc slots
+    chunk_totals = jnp.diff(jnp.concatenate(
+        [chunk_pair_start, off[-1:]]))
+    budget_dropped = jnp.maximum(chunk_totals - pc, 0).sum()
 
     def chunk(c):
         lo = c * g
         return (jax.lax.dynamic_slice_in_dim(rect_min_s, lo, g, 0),
-                jax.lax.dynamic_slice_in_dim(rect_max_s, lo, g, 0),
-                jax.lax.dynamic_slice_in_dim(touched_s, lo, g, 0),
-                jax.lax.dynamic_slice_in_dim(order_p, lo, g, 0))
+                jax.lax.dynamic_slice_in_dim(rect_max_s, lo, g, 0))
 
-    def body(carry, c):
+    def body(carry, xs):
         counter, gidx_flat, n_drop = carry
-        rmin, rmax, touched, oidx = chunk(c)
+        c, t_ids, oidx_p, owner_local, valid_c = xs
+        rmin, rmax = chunk(c)
         # dense coverage mask + stable ranks; int16 cumsum halves the
         # bandwidth of the dominant pass (counts per chunk <= bin_chunk)
         m = ((tx_of_t >= rmin[:, 0:1]) & (tx_of_t < rmax[:, 0:1])
              & (ty_of_t >= rmin[:, 1:2]) & (ty_of_t < rmax[:, 1:2]))
         colcum = jnp.cumsum(m.astype(jnp.int16), axis=0)
         hist = colcum[-1].astype(jnp.int32)
-        # local pair expansion over the static per-chunk budget; owner of
-        # each pair slot found by scatter-marks + cumsum (no binary search);
-        # all per-owner lookups ride ONE packed row gather
-        off = jnp.cumsum(touched, dtype=jnp.int32)
-        total = off[-1]
-        start = jnp.concatenate([jnp.zeros((1,), jnp.int32), off[:-1]])
-        marks = jnp.zeros((pc,), jnp.int32).at[start].add(1, mode="drop")
-        owner = jnp.cumsum(marks) - 1
-        tbl = jnp.stack(
-            [start, oidx, rmin[:, 0], rmin[:, 1],
-             jnp.maximum(rmax[:, 0] - rmin[:, 0], 1)], axis=1)
-        row = tbl[owner]                       # (pc, 5) single gather
-        valid = slots < jnp.minimum(total, pc)
-        local = slots - row[:, 0]
-        sx = row[:, 4]
-        t_ids = (row[:, 3] + local // sx) * cfg.grid_x + row[:, 2] + local % sx
-        t_ids = jnp.where(valid, t_ids, 0)
         rank = (counter[t_ids]
-                + colcum.reshape(-1)[owner * nt + t_ids].astype(jnp.int32)
-                - 1)
-        ok = valid & (rank < cfg.tile_cap)
+                + colcum.reshape(-1)[owner_local * nt + t_ids]
+                .astype(jnp.int32) - 1)
+        ok = valid_c & (rank < cfg.tile_cap)
         dest = jnp.where(ok, t_ids * cfg.tile_cap + rank,
                          nt * cfg.tile_cap)
-        gidx_flat = gidx_flat.at[dest].set(row[:, 1], mode="drop",
+        gidx_flat = gidx_flat.at[dest].set(oidx_p, mode="drop",
                                            unique_indices=True)
-        n_drop = n_drop + (valid & ~ok).sum() + jnp.maximum(total - pc, 0)
+        n_drop = n_drop + (valid_c & ~ok).sum()
         return (counter + hist, gidx_flat, n_drop), None
 
     init = (jnp.zeros((nt,), jnp.int32),
             jnp.full((nt * cfg.tile_cap,), -1, jnp.int32),
             jnp.zeros((), jnp.int32))
     (counter, gidx_flat, n_drop), _ = jax.lax.scan(
-        body, init, jnp.arange(n_chunks, dtype=jnp.int32))
+        body, init,
+        (jnp.arange(n_chunks, dtype=jnp.int32), t_ids_all, oidx_all,
+         owner_local_all, valid_all))
+    n_drop = n_drop + budget_dropped
     total_pairs = proj.tiles_touched.sum()
     return BinnedTiles(
         gidx=gidx_flat.reshape(nt, cfg.tile_cap),
