@@ -40,6 +40,11 @@ def main():
     backend = os.environ.get("BENCH_BACKEND", "auto")
 
     cfg = Config()
+    # headline-scene hyperparameters: the D-NeRF per-scene config
+    # (multires [1,2], depth 0, width 64 — ref arguments/dnerf/dnerf_default.py)
+    cfg.hidden.multires = [1, 2]
+    cfg.hidden.defor_depth = 0
+    cfg.hidden.net_width = 64
     cap = 1 << (n_points - 1).bit_length()
     cfg.raster = RasterParams(capacity=cap, tile_size=16, tile_cap=768,
                               pair_cap=1 << 21, chunk=32, backend=backend)
