@@ -209,6 +209,7 @@ def run_stage(
     on_checkpoint: Callable | None = None,
     epoch_order_fn: Callable | None = None,
     mesh=None,
+    on_iteration: Callable | None = None,
 ) -> StageResult:
     opt = cfg.opt
     deform_cfg = deform_config_from(cfg)
@@ -240,6 +241,12 @@ def run_stage(
     last_good, last_good_it = None, 0
 
     for it in range(1, iterations + 1):
+        if on_iteration is not None:
+            # e.g. the GUI socket poll (ref train.py:109-134); excluded
+            # from reported train time
+            tp = time.perf_counter()
+            on_iteration(it, state, active_sh)
+            paused += time.perf_counter() - tp
         if it % 1000 == 0 and active_sh < cfg.model.sh_degree:
             active_sh += 1
 

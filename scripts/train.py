@@ -37,6 +37,10 @@ def main():
     parser.add_argument("--mesh", default="",
                         help="multi-chip mesh 'data,tile' (e.g. '4,2'); "
                              "batch_size must be divisible by data")
+    parser.add_argument("--gui", action="store_true",
+                        help="serve the SIBR viewer protocol during training")
+    parser.add_argument("--ip", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=6009)
 
     from fourdgs_tpu.train import config as config_mod
     cfg = config_mod.Config()
@@ -112,6 +116,40 @@ def main():
                           rec["iter"])
             tb.add_scalar(f"{s}/total_points", rec["points"], rec["iter"])
             tb.add_scalar(f"{s}/psnr", rec["psnr"], rec["iter"])
+
+    # live viewer bridge (ref network_gui polling at train.py:109-134)
+    gui = None
+    if args.gui:
+        import functools
+
+        from fourdgs_tpu.render.render import render as render_fn
+        from fourdgs_tpu.viewer.network_gui import NetworkGui
+        gui = NetworkGui()
+        gui.init(args.ip, args.port)
+        print(f"viewer bridge listening on {args.ip}:{args.port}")
+
+        @functools.lru_cache(maxsize=4)
+        def gui_raster_cfg(w, h):
+            return loop.raster_config_from(cfg, w, h)
+
+        def make_on_iteration(stage):
+            def on_iteration(it, state, active_sh):
+                n_video = max(len(scene.video), 1)
+                t = float(scene.video.times[it % n_video])
+
+                def gui_render(camera, w, h, scaling_modifier):
+                    out = render_fn(
+                        state.params["gauss"], state.params["deform"],
+                        camera, bg, gui_raster_cfg(w, h), deform_cfg,
+                        state.aabb, state.alive, active_sh, stage=stage,
+                        scale_modifier=scaling_modifier)
+                    return np.asarray(out.color)
+
+                gui.poll(gui_render, cfg.model.source_path, time=t)
+            return on_iteration
+    else:
+        def make_on_iteration(stage):
+            return None
 
     mesh = None
     if args.mesh:
@@ -210,7 +248,7 @@ def main():
             on_test=make_on_test(stage), on_save=make_on_save(stage),
             on_checkpoint=make_on_ckpt(stage),
             epoch_order_fn=None if stage == "coarse" else epoch_order_fn,
-            mesh=mesh)
+            mesh=mesh, on_iteration=make_on_iteration(stage))
         if args.profile and stage == "fine":
             jax.profiler.stop_trace()
         st = res.state
