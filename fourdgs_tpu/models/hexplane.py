@@ -72,25 +72,25 @@ def bilinear_sample(plane: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.n
     """Sample (H, W, C) plane at coords u (width), v (height) in [-1, 1],
     align_corners=True with border clamp. Returns (N, C).
 
-    The four corners are fetched as ONE (2, 2, C) slice-gather from an
-    edge-padded plane instead of four row gathers — TPU gathers have high
-    per-row fixed cost, and edge padding reproduces the border clamp
-    (x0+1 at the last column reads the duplicated edge, matching
-    min(x0+1, W-1)). The backward becomes one slice scatter-add the same
-    way."""
-    h, w, c = plane.shape
+    Four row gathers from the flattened plane. (A fused (2,2,C)
+    slice-gather via vmap'd dynamic_slice measured 100x SLOWER on TPU —
+    multi-dim slice gathers serialize; keep row gathers.)"""
+    h, w, _ = plane.shape
     x = jnp.clip((u + 1.0) * 0.5 * (w - 1), 0.0, w - 1)
     y = jnp.clip((v + 1.0) * 0.5 * (h - 1), 0.0, h - 1)
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
     fx = (x - x0)[:, None]
     fy = (y - y0)[:, None]
-    padded = jnp.pad(plane, ((0, 1), (0, 1), (0, 0)), mode="edge")
-    q = jax.vmap(
-        lambda yy, xx: jax.lax.dynamic_slice(padded, (yy, xx, 0), (2, 2, c))
-    )(y0, x0)                                   # (N, 2, 2, C)
-    top = q[:, 0, 0] * (1 - fx) + q[:, 0, 1] * fx
-    bot = q[:, 1, 0] * (1 - fx) + q[:, 1, 1] * fx
+    flat = plane.reshape(h * w, -1)
+    p00 = flat[y0 * w + x0]
+    p01 = flat[y0 * w + x1]
+    p10 = flat[y1 * w + x0]
+    p11 = flat[y1 * w + x1]
+    top = p00 * (1 - fx) + p01 * fx
+    bot = p10 * (1 - fx) + p11 * fx
     return top * (1 - fy) + bot * fy
 
 
