@@ -31,3 +31,24 @@ def test_run_stage_with_mesh(gt_data):
     psnrs = [h["psnr"] for h in res.history]
     assert np.isfinite(psnrs).all()
     assert psnrs[-1] > psnrs[0]
+
+
+def test_nan_guard_raises_without_good_state(gt_data):
+    """Loss NaN on the first check with no good state must raise (the
+    reference re-execs the process; we fail fast / roll back)."""
+    import jax.numpy as jnp
+
+    cams, images, true_means, true_colors = gt_data
+    cfg = smoke_config()
+    cfg.opt.batch_size = 1
+    st = state_mod.create_state(jax.random.key(0), cfg, true_means,
+                                true_colors, spatial_lr_scale=1.0)
+    st = loop.compact_and_resize(st, 512)
+    tx = optim.build_optimizer(cfg.opt, 1.0, st.params)
+    st = st._replace(opt_state=tx.init(st.params))
+    rcfg = loop.raster_config_from(cfg, W, H)
+    bad = images.at[:].set(jnp.nan)
+    with pytest.raises(FloatingPointError):
+        loop.run_stage(cfg, st, "coarse", 30, cams, bad, tx, rcfg,
+                       rng=np.random.default_rng(1), key=jax.random.key(2),
+                       log_every=100)
