@@ -232,3 +232,45 @@ class TestDenseGrid:
         g = jnp.arange(8.0).reshape(2, 2, 2, 1)
         out = dense_grid.dense_grid_sample(g, jnp.array([[5.0, -5.0, 5.0]]))
         assert float(out[0, 0]) == pytest.approx(5.0)  # (x1,y0,z1) idx 5
+
+
+class TestBilinearVJP:
+    def test_custom_vjp_matches_autodiff(self):
+        """The fused-scatter custom VJP must equal autodiff of the plain
+        formula for plane AND coordinate gradients."""
+        def plain(plane, u, v):
+            h, w, _ = plane.shape
+            x = jnp.clip((u + 1.0) * 0.5 * (w - 1), 0.0, w - 1)
+            y = jnp.clip((v + 1.0) * 0.5 * (h - 1), 0.0, h - 1)
+            x0 = jnp.floor(x).astype(jnp.int32)
+            y0 = jnp.floor(y).astype(jnp.int32)
+            x1 = jnp.minimum(x0 + 1, w - 1)
+            y1 = jnp.minimum(y0 + 1, h - 1)
+            fx = (x - x0)[:, None]
+            fy = (y - y0)[:, None]
+            p00, p01 = plane[y0, x0], plane[y0, x1]
+            p10, p11 = plane[y1, x0], plane[y1, x1]
+            top = p00 * (1 - fx) + p01 * fx
+            bot = p10 * (1 - fx) + p11 * fx
+            return top * (1 - fy) + bot * fy
+
+        rng = np.random.default_rng(4)
+        plane = jnp.asarray(rng.normal(size=(7, 9, 5)).astype(np.float32))
+        u = jnp.asarray(rng.uniform(-0.95, 0.95, 40).astype(np.float32))
+        v = jnp.asarray(rng.uniform(-0.95, 0.95, 40).astype(np.float32))
+        cot = jnp.asarray(rng.normal(size=(40, 5)).astype(np.float32))
+
+        def loss_a(p, uu, vv):
+            return (hexplane.bilinear_sample(p, uu, vv) * cot).sum()
+
+        def loss_b(p, uu, vv):
+            return (plain(p, uu, vv) * cot).sum()
+
+        np.testing.assert_allclose(
+            np.asarray(hexplane.bilinear_sample(plane, u, v)),
+            np.asarray(plain(plane, u, v)), atol=1e-6)
+        ga = jax.grad(loss_a, argnums=(0, 1, 2))(plane, u, v)
+        gb = jax.grad(loss_b, argnums=(0, 1, 2))(plane, u, v)
+        for a, b in zip(ga, gb):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4)
