@@ -327,3 +327,11 @@ class TestPanopticReader:
         assert cam.world_view.shape == (4, 4)
         scene = Scene.load(str(tmp_path))
         assert scene.train.images.shape == (3, size, size, 3)
+
+
+class TestDownscale:
+    def test_stack_downscale(self, tmp_path):
+        write_blender_fixture(tmp_path)
+        scene = Scene.load(str(tmp_path), resolution=(32, 32), downscale=2)
+        assert scene.train.images.shape == (4, 16, 16, 3)
+        assert (scene.train.width, scene.train.height) == (16, 16)
