@@ -8,6 +8,7 @@ our channels-last layout maps better onto TPU lanes).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 C0 = 0.28209479177387814
 C1 = 0.4886025119029199
@@ -79,6 +80,23 @@ def sh_to_rgb(deg: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     rasterizer's stored clamp flags.
     """
     return jnp.maximum(eval_sh(deg, sh, dirs) + 0.5, 0.0)
+
+
+def sh_to_rgb_dynamic(active_deg: jnp.ndarray, sh: jnp.ndarray,
+                      dirs: jnp.ndarray, max_deg: int = 3) -> jnp.ndarray:
+    """SH -> clamped RGB with a DYNAMIC active degree: always evaluates
+    max_deg but zero-masks bands above active_deg. The reference's
+    oneupSHdegree ramp (ref train.py:141-142) changes the degree every
+    1000 iterations; as a static jit argument each bump costs a recompile
+    (minutes through a remote-compile tunnel), while the masked form costs
+    a few extra FMAs per gaussian."""
+    k = (max_deg + 1) ** 2
+    band_deg = jnp.asarray(
+        [int(np.sqrt(i)) for i in range(k)], jnp.int32)
+    mask = (band_deg <= active_deg).astype(sh.dtype)
+    return jnp.maximum(
+        eval_sh(max_deg, sh[..., :k, :] * mask[:, None], dirs) + 0.5, 0.0)
+
 
 
 def rgb_to_sh(rgb):

@@ -56,7 +56,15 @@ def render(
         dirs = xyz - camera.cam_center
         dirs = dirs / jnp.maximum(
             jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
-        colors = sh_ops.sh_to_rgb(active_sh_degree, shs_f, dirs)
+        if isinstance(active_sh_degree, int):
+            colors = sh_ops.sh_to_rgb(active_sh_degree, shs_f, dirs)
+        else:
+            # dynamic (traced) degree: masked full-degree eval, so the SH
+            # ramp never triggers a recompile
+            import math
+            max_deg = int(math.isqrt(shs_f.shape[1])) - 1
+            colors = sh_ops.sh_to_rgb_dynamic(active_sh_degree, shs_f, dirs,
+                                              max_deg)
     else:
         colors = override_color
 

@@ -57,10 +57,10 @@ def raster_config_from(cfg: Config, width: int, height: int) -> RasterConfig:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("stage", "active_sh", "raster_cfg", "deform_cfg", "tx",
+    static_argnames=("stage", "raster_cfg", "deform_cfg", "tx",
                      "lambda_dssim", "reg_weights", "track_stats"))
 def train_step(state: TrainState, cameras: Camera, gts: jnp.ndarray,
-               bg: jnp.ndarray, *, stage: str, active_sh: int,
+               bg: jnp.ndarray, active_sh, *, stage: str,
                raster_cfg: RasterConfig, deform_cfg: DeformConfig,
                tx, lambda_dssim: float, reg_weights: tuple,
                track_stats: bool = True):
@@ -271,7 +271,7 @@ def run_stage(
                           image=jnp.zeros((1, 1, 3)))
         else:
             state, aux = train_step(
-                state, cams, gts, bg, stage=stage, active_sh=active_sh,
+                state, cams, gts, bg, jnp.int32(active_sh), stage=stage,
                 raster_cfg=raster_cfg, deform_cfg=deform_cfg, tx=tx,
                 lambda_dssim=float(opt.lambda_dssim),
                 reg_weights=reg_weights,
