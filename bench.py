@@ -27,6 +27,9 @@ BASELINE_RAYS_PER_S = 23000 / 480.0 * 800 * 800  # reference, RTX 3090
 
 def main():
     import jax
+
+    from fourdgs_tpu.utils.jax_setup import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from __graft_entry__ import _look_at_camera, _synthetic_scene

@@ -42,6 +42,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from fourdgs_tpu.utils.jax_setup import enable_compilation_cache
+    enable_compilation_cache()
+
     from fourdgs_tpu.data.scene import Scene
     from fourdgs_tpu.models.deformation import init_deform
     from fourdgs_tpu.train import checkpoint, loop, state as state_mod

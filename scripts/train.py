@@ -61,6 +61,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from fourdgs_tpu.utils.jax_setup import enable_compilation_cache
+    enable_compilation_cache()
+
     from fourdgs_tpu.data.scene import Scene
     from fourdgs_tpu.ops import losses
     from fourdgs_tpu.train import checkpoint, loop, optim, state as state_mod
