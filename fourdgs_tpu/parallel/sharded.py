@@ -83,7 +83,14 @@ def _render_tiles_local(params, cfg: RasterConfig, deform_cfg: DeformConfig,
     px = jax.lax.dynamic_slice_in_dim(px_all, start, nt_local, 0)
     py = jax.lax.dynamic_slice_in_dim(py_all, start, nt_local, 0)
 
-    blend = _make_blend(cfg)
+    backend = cfg.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas":
+        from fourdgs_tpu.ops.pallas import blend as pallas_blend
+        blend = pallas_blend.make_blend(cfg)
+    else:
+        blend = _make_blend(cfg)
     color_t, depth_t, t_t = blend(gidx, px, py, proj.pix, proj.conic, colors,
                                   opacities, proj.depth)
     color_t = color_t + t_t[..., None] * bg
