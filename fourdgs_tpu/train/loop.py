@@ -363,7 +363,11 @@ def run_stage(
                        l1=float(aux.l1), psnr=float(aux.psnr),
                        points=int(state.alive.sum()),
                        capacity=state.capacity,
-                       elapsed=tp - t0 - paused)
+                       elapsed=tp - t0 - paused,
+                       # divergence telltales (cheap reductions)
+                       rot_max=float(jnp.abs(
+                           state.params["gauss"].rotation).max()),
+                       op_max=float(state.params["gauss"].opacity.max()))
             history.append(rec)
             if log_fn:
                 log_fn(rec)
