@@ -150,10 +150,15 @@ def compact_and_resize(state: TrainState, new_cap: int) -> TrainState:
         pad = [(0, new_cap - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
         return jnp.asarray(np.pad(x, pad))
 
-    def fix_gauss(g: GaussianParams) -> GaussianParams:
+    def fix_gauss(g: GaussianParams, fix_rotation: bool) -> GaussianParams:
         out = GaussianParams(*[fix(getattr(g, f)) for f in GaussianParams._fields])
-        # keep padded rotations valid (w=1) so normalization is well-defined
-        if new_cap > n_alive:
+        # Keep padded PARAM rotations valid (w=1) so normalization is
+        # well-defined. NEVER apply this to Adam moment trees: injecting
+        # mu_w=1 into a slot whose mu underflowed to zero while nu_w is
+        # tiny makes the next update mu/(sqrt(nu)+eps) ~ 1e14 — a single
+        # catastrophic step (this exact bug blew rotations to 1e10 in
+        # early runs).
+        if fix_rotation and new_cap > n_alive:
             rot = np.asarray(out.rotation).copy()
             dead = np.abs(rot).sum(axis=1) == 0
             rot[dead, 0] = 1.0
@@ -162,11 +167,14 @@ def compact_and_resize(state: TrainState, new_cap: int) -> TrainState:
 
     adam_state, lr_state = state.opt_state
     adam_state = adam_state._replace(
-        mu={**adam_state.mu, "gauss": fix_gauss(adam_state.mu["gauss"])},
-        nu={**adam_state.nu, "gauss": fix_gauss(adam_state.nu["gauss"])},
+        mu={**adam_state.mu,
+            "gauss": fix_gauss(adam_state.mu["gauss"], fix_rotation=False)},
+        nu={**adam_state.nu,
+            "gauss": fix_gauss(adam_state.nu["gauss"], fix_rotation=False)},
     )
     return state._replace(
-        params={**state.params, "gauss": fix_gauss(state.params["gauss"])},
+        params={**state.params,
+                "gauss": fix_gauss(state.params["gauss"], fix_rotation=True)},
         opt_state=(adam_state, lr_state),
         alive=fix(alive),
         xyz_gradient_accum=fix(state.xyz_gradient_accum),

@@ -210,3 +210,24 @@ class TestGrow:
         assert int(st2.alive.sum()) == 32 + int(n_added)
         # new points inherit appearance (opacity column identical to source)
         assert np.isfinite(np.asarray(st2.params["gauss"].xyz)).all()
+
+
+class TestCompactionMomentSafety:
+    def test_no_moment_contamination(self):
+        """Regression: compact_and_resize must NOT inject the w=1 rotation
+        fix into Adam moment trees (a zero-mu/tiny-nu slot would get a
+        mu/(sqrt(nu)+eps) ~ 1e14 update next step)."""
+        import jax
+        cfg = tiny_config(cap=64)
+        st = make_state(cfg, n=16)
+        tx = optim.build_optimizer(cfg.opt, 1.0, st.params)
+        st = st._replace(opt_state=tx.init(st.params))
+        # moments exactly zero (fresh) -> resize up
+        st2 = loop.compact_and_resize(st, 32)
+        mu = np.asarray(st2.opt_state[0].mu["gauss"].rotation)
+        nu = np.asarray(st2.opt_state[0].nu["gauss"].rotation)
+        assert np.abs(mu).max() == 0.0
+        assert np.abs(nu).max() == 0.0
+        # params DO get the w=1 fix for padded dead slots
+        rot = np.asarray(st2.params["gauss"].rotation)
+        assert (rot[16:, 0] == 1.0).all()
