@@ -7,10 +7,12 @@ for XLA's static-shape compilation model, NOT a translation of the CUDA
 kernels:
 
   1. project_gaussians           — vectorized EWA (ops/projection.py)
-  2. bin_gaussians               — depth sort + (gaussian, tile) pair
-     expansion under a static PAIR_CAP budget, stable sort by tile id, then
-     per-tile fixed-capacity index lists (num_tiles, TILE_CAP). All shapes
-     static; overflow is counted, never crashes.
+  2. bin_gaussians               — per-tile fixed-capacity index lists
+     (num_tiles, TILE_CAP) in depth order. Default is the sort-free
+     counting binner (coverage-mask prefix-counts; see
+     bin_gaussians_count); a stable-sort binner is kept for
+     cross-validation. All shapes static; overflow is counted, never
+     crashes.
   3. blend (custom VJP)          — front-to-back alpha compositing over
      depth-ordered per-tile lists, vectorized over (tiles x chunk x pixels)
      with an in-chunk exclusive cumprod for order correctness. The backward
