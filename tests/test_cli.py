@@ -99,3 +99,20 @@ class TestRenderAndMetricsCLI:
         assert np.isfinite(results["ours_30"]["PSNR"])
         per_view = json.load(open(model / "per_view.json"))
         assert len(per_view["ours_30"]["PSNR"]) == 2
+
+
+class TestResume:
+    def test_resume_from_checkpoint(self, trained_model):
+        """--start_checkpoint with a fine-stage checkpoint must skip the
+        coarse stage and continue (ref train.py:47-55 semantics)."""
+        data, model, r = trained_model
+        ckpt = str(model / "chkpnt_fine_30.npz")
+        cfgfile = data / "tiny.py"
+        r2 = run(["scripts/train.py", "-s", str(data), "-m",
+                  str(model) + "_resumed", "--configs", str(cfgfile),
+                  "--expname", "tiny2", "--start_checkpoint", ckpt,
+                  "--test_iterations", "999", "--save_iterations", "30"])
+        assert r2.returncode == 0, r2.stderr[-3000:]
+        assert "skip coarse stage" in r2.stdout
+        assert "resumed fine stage at iteration 30" in r2.stdout
+        assert "Training complete" in r2.stdout
