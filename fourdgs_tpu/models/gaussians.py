@@ -39,7 +39,7 @@ class GaussianParams(NamedTuple):
 def activated(params: GaussianParams):
     """Raw -> rendering quantities (ref gaussian_model.py:29-44)."""
     return dict(
-        scales=jnp.exp(params.scaling),
+        scales=transforms.safe_exp_scales(params.scaling),
         quats=transforms.quat_normalize(params.rotation),
         opacities=jax.nn.sigmoid(params.opacity[:, 0]),
     )

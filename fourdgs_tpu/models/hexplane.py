@@ -72,27 +72,33 @@ def bilinear_sample(plane: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.n
     """Sample (H, W, C) plane at coords u (width), v (height) in [-1, 1],
     align_corners=True with border clamp. Returns (N, C).
 
-    Four flat-index row gathers + autodiff backward. Measured alternatives
-    on v5e that LOST: (a) vmap'd (2,2,C) dynamic_slice gather — 100x
-    slower (multi-dim slice gathers serialize); (b) custom VJP with one
-    concatenated 4N-row gather/scatter — ~15% slower (concat overhead
-    exceeds the per-call fixed-cost saving)."""
-    h, w, _ = plane.shape
+    Corner-packed single gather: TPU gathers/scatters cost is per ROW, not
+    per byte, so the plane is first expanded (dense shifts, ~free) into a
+    (H*W, 4C) table whose row (y, x) holds all four bilinear corners; one
+    wide row gather then replaces four narrow ones (4x fewer rows moved on
+    the fwd; the autodiff backward likewise becomes ONE row scatter-add
+    into the packed table plus dense shift-adds). Measured on v5e: hexplane
+    fwd+bwd 68 ms -> ~15 ms at 131k points. Earlier losers kept for the
+    record: vmap'd (2,2,C) dynamic_slice (100x slower), concatenated
+    4N-row gather custom VJP (15% slower than the 4-gather baseline)."""
+    h, w, c = plane.shape
     x = jnp.clip((u + 1.0) * 0.5 * (w - 1), 0.0, w - 1)
     y = jnp.clip((v + 1.0) * 0.5 * (h - 1), 0.0, h - 1)
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
-    x1 = jnp.minimum(x0 + 1, w - 1)
-    y1 = jnp.minimum(y0 + 1, h - 1)
     fx = (x - x0)[:, None]
     fy = (y - y0)[:, None]
-    flat = plane.reshape(h * w, -1)
-    p00 = flat[y0 * w + x0]
-    p01 = flat[y0 * w + x1]
-    p10 = flat[y1 * w + x0]
-    p11 = flat[y1 * w + x1]
-    top = p00 * (1 - fx) + p01 * fx
-    bot = p10 * (1 - fx) + p11 * fx
+    # packed corners: [:, :c]=p(y,x) [:, c:2c]=p(y,x+1) (edge-clamped),
+    # rows 2c:4c are the same pair one row down
+    row_pair = jnp.concatenate(
+        [plane, jnp.concatenate([plane[:, 1:], plane[:, -1:]], axis=1)],
+        axis=-1)
+    packed = jnp.concatenate(
+        [row_pair, jnp.concatenate([row_pair[1:], row_pair[-1:]], axis=0)],
+        axis=-1).reshape(h * w, 4 * c)
+    r = packed[y0 * w + x0]
+    top = r[:, :c] * (1 - fx) + r[:, c:2 * c] * fx
+    bot = r[:, 2 * c:3 * c] * (1 - fx) + r[:, 3 * c:] * fx
     return top * (1 - fy) + bot * fy
 
 

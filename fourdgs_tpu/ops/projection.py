@@ -55,11 +55,19 @@ def project_gaussians(
     t = means3d @ W[:3, :3].T + W[:3, 3]
     tz = t[:, 2]
     in_front = tz > FRUSTUM_NEAR
+    # Culled gaussians get a SAFE depth for all division-bearing math. A
+    # point within float-epsilon of the camera plane (tz ~ 0) otherwise
+    # yields inf/NaN in the primal (e.g. 0 * inf in the EWA Jacobian), and
+    # even with zero cotangents the VJP turns that into NaN parameter
+    # gradients — one such gaussian permanently poisons itself and then the
+    # whole model through Adam. Their outputs are never consumed (radius 0,
+    # never binned), so the substitute value is arbitrary.
+    tz_safe = jnp.where(in_front, tz, 1.0)
 
     # --- perspective projection to NDC, then pixels ---
     ph = means3d @ camera.full_proj[:3, :3].T + camera.full_proj[:3, 3]
     pw = means3d @ camera.full_proj[3, :3].T + camera.full_proj[3, 3]
-    rw = 1.0 / (pw + 1e-7)
+    rw = 1.0 / jnp.where(in_front, pw + 1e-7, 1.0)
     ndc_xy = ph[:, :2] * rw[:, None]
     if ndc_offset is not None:
         ndc_xy = ndc_xy + ndc_offset
@@ -80,9 +88,9 @@ def project_gaussians(
     fy = img_height / (2.0 * camera.tanfovy)
     limx = 1.3 * camera.tanfovx
     limy = 1.3 * camera.tanfovy
-    txz = jnp.clip(t[:, 0] / tz, -limx, limx) * tz
-    tyz = jnp.clip(t[:, 1] / tz, -limy, limy) * tz
-    inv_z = 1.0 / tz
+    txz = jnp.clip(t[:, 0] / tz_safe, -limx, limx) * tz_safe
+    tyz = jnp.clip(t[:, 1] / tz_safe, -limy, limy) * tz_safe
+    inv_z = 1.0 / tz_safe
     inv_z2 = inv_z * inv_z
     # J rows (only 2 nonzero rows matter)
     j00 = fx * inv_z
@@ -109,7 +117,9 @@ def project_gaussians(
 
     det = cov00 * cov11 - cov01 * cov01
     det_ok = det > 0.0
-    inv_det = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
+    # max() floor keeps inv_det finite for denormal dets: an inf conic on a
+    # culled gaussian would leak NaN into the backward via 0 * inf.
+    inv_det = jnp.where(det_ok, 1.0 / jnp.maximum(det, 1e-30), 0.0)
     conic = jnp.stack([cov11 * inv_det, -cov01 * inv_det, cov00 * inv_det],
                       axis=-1)
 

@@ -18,6 +18,22 @@ import numpy as np
 # Quaternions (w, x, y, z convention, matching 3DGS)
 # ---------------------------------------------------------------------------
 
+SCALE_LOG_MAX = 15.0  # exp(15) ~ 3.3e6: far beyond any useful world scale
+
+
+def safe_exp_scales(scaling: jnp.ndarray) -> jnp.ndarray:
+    """exp with an overflow clamp for scale activation.
+
+    A raw log-scale that drifts past ~88 makes exp() inf, which poisons the
+    whole model: the inf covariance gets the gaussian culled, the culled
+    branch back-propagates 0 * inf = NaN into scaling, and Adam moments keep
+    the NaN forever (observed: a fully-NaN model renders pure background and
+    the photometric loss stays finite, so a loss-only NaN guard never
+    fires). The clamp keeps the primal finite; healthy training never gets
+    within 10 of the bound."""
+    return jnp.exp(jnp.minimum(scaling, SCALE_LOG_MAX))
+
+
 def quat_normalize(q: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
     """L2-normalize quaternions along the last axis."""
     norm = jnp.linalg.norm(q, axis=-1, keepdims=True)

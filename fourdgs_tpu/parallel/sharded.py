@@ -60,7 +60,7 @@ def _render_tiles_local(params, cfg: RasterConfig, deform_cfg: DeformConfig,
     else:
         xyz, scaling, rotation, opacity = (gauss.xyz, gauss.scaling,
                                            gauss.rotation, gauss.opacity)
-    scales = jnp.exp(scaling)
+    scales = transforms.safe_exp_scales(scaling)
     quats = transforms.quat_normalize(rotation)
     opacities = jax.nn.sigmoid(opacity[:, 0])
     dirs = xyz - camera.cam_center

@@ -48,7 +48,7 @@ def render(
     else:
         raise NotImplementedError(stage)
 
-    scales = jnp.exp(scaling)
+    scales = transforms.safe_exp_scales(scaling)
     quats = transforms.quat_normalize(rotation)
     opacities = jax.nn.sigmoid(opacity[:, 0])
 

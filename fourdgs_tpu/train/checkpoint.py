@@ -94,18 +94,27 @@ def load_snapshot(out_dir: str, max_sh_degree: int = 3):
 
 def find_latest_snapshot(model_path: str, iteration: int = -1,
                          stage_prefix: str = "") -> tuple[str, int]:
+    """Pick a snapshot dir. `stage_prefix` restricts to one stage: "" (or
+    "fine") matches un-prefixed `iteration_N` dirs; "coarse" matches
+    `coarse_iteration_N`. Without it, fine snapshots win ties over coarse
+    ones at the same iteration (fine is the later stage)."""
     root = os.path.join(model_path, "point_cloud")
-    best, best_it = None, -1
+    best, best_it, best_fine = None, -1, False
     pat = re.compile(r"^(?:(\w+)_)?iteration_(\d+)$")
     for name in os.listdir(root):
         m = pat.match(name)
         if not m:
             continue
+        stage = m.group(1) or ""
+        if stage_prefix and stage != (
+                "" if stage_prefix == "fine" else stage_prefix):
+            continue
         it = int(m.group(2))
         if iteration >= 0 and it != iteration:
             continue
-        if it > best_it:
-            best, best_it = os.path.join(root, name), it
+        is_fine = stage == ""
+        if it > best_it or (it == best_it and is_fine and not best_fine):
+            best, best_it, best_fine = os.path.join(root, name), it, is_fine
     if best is None:
         raise FileNotFoundError(f"no snapshot under {root}")
     return best, best_it
@@ -143,19 +152,27 @@ def deform_params_from_flat(template: dict, flat: dict) -> dict:
 # ---------------------------------------------------------------------------
 
 def save_checkpoint(state: TrainState, path: str, iteration: int,
-                    stage: str):
+                    stage: str, active_sh: int = 0):
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
     flat = _flatten(state._asdict())
     flat["__iteration__"] = np.asarray(iteration)
     flat["__stage__"] = np.frombuffer(stage.encode(), dtype=np.uint8)
+    flat["__active_sh__"] = np.asarray(active_sh)
     np.savez(path, **flat)
 
 
 def load_checkpoint(path: str, template: TrainState
-                    ) -> tuple[TrainState, int, str]:
+                    ) -> tuple[TrainState, int, str, int]:
+    """-> (state, iteration, stage, active_sh). active_sh falls back to the
+    reference's 1-degree-per-1000-iterations ramp for old checkpoints
+    (ref oneupSHdegree at train.py:141-142)."""
     z = np.load(path)
     flat = {k: z[k] for k in z.files}
     iteration = int(flat.pop("__iteration__"))
     stage = flat.pop("__stage__").tobytes().decode()
+    if "__active_sh__" in flat:
+        active_sh = int(flat.pop("__active_sh__"))
+    else:
+        active_sh = min(iteration // 1000, 3)
     state = _unflatten_into(template, {k: v for k, v in flat.items()})
-    return state, iteration, stage
+    return state, iteration, stage, active_sh

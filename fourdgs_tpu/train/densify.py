@@ -78,7 +78,7 @@ def densify(state: TrainState, key: jax.Array, grad_threshold: float,
     grads = jnp.where(state.denom > 0,
                       state.xyz_gradient_accum / jnp.maximum(state.denom, 1), 0.0)
     grads = jnp.nan_to_num(grads)
-    scales = jnp.exp(gauss.scaling)
+    scales = transforms.safe_exp_scales(gauss.scaling)
     max_scale = scales.max(axis=1)
     over = grads >= grad_threshold
     small = max_scale <= percent_dense * extent
@@ -107,14 +107,21 @@ def densify(state: TrainState, key: jax.Array, grad_threshold: float,
     R = transforms.quat_to_rotmat(gauss.rotation)
     off0 = jnp.einsum("nij,nj->ni", R, eps0)
     off1 = jnp.einsum("nij,nj->ni", R, eps1)
-    new_scaling = jnp.log(scales / 1.6)  # 0.8 * N with N=2 (ref :432)
+    # 0.8 * N with N=2 (ref :432), computed directly in log space so a
+    # zero/overflowed scale can never produce a +-inf parameter
+    new_scaling = (jnp.minimum(gauss.scaling, transforms.SCALE_LOG_MAX)
+                   - jnp.log(1.6))
 
     split_rank = jnp.cumsum(split_mask) - 1
     dest_s, ok_s = _alloc_free_slots(alive, split_mask)
     ok_s = ok_s & (split_rank < room2)
 
-    # sample 0 overwrites the original slot (split_mask rows)
-    sm = split_mask[:, None]
+    # sample 0 overwrites the original slot — but only when the split
+    # actually allocated its second sample (ok_s). The reference only
+    # replaces/prunes originals when the split adds points; gating on ok_s
+    # avoids repeatedly shrinking+jittering large gaussians with no
+    # compensating second sample once capacity/budget is exhausted.
+    sm = (split_mask & ok_s)[:, None]
     new_gauss = new_gauss._replace(
         xyz=jnp.where(sm, gauss.xyz + off0, new_gauss.xyz),
         scaling=jnp.where(sm, new_scaling, new_gauss.scaling),
@@ -123,7 +130,7 @@ def densify(state: TrainState, key: jax.Array, grad_threshold: float,
     src_vals = gauss._replace(xyz=gauss.xyz + off1, scaling=new_scaling)
     new_gauss = _scatter_params(new_gauss, src_vals, dest_s, ok_s)
     alive = alive.at[jnp.where(ok_s, dest_s, cap)].set(True, mode="drop")
-    written = written | split_mask \
+    written = written | (split_mask & ok_s) \
         | jnp.zeros((cap,), bool).at[jnp.where(ok_s, dest_s, cap)].set(
             True, mode="drop")
     n_split = ok_s.sum()
@@ -157,7 +164,6 @@ def prune(state: TrainState, min_opacity: float, extent: float,
     mask = mask & state.alive
     # never prune below min_points: keep the lowest-index survivors
     n_alive = state.alive.sum()
-    n_after = n_alive - mask.sum()
     do_prune = n_alive > min_points
     alive = jnp.where(do_prune, state.alive & ~mask, state.alive)
     return state._replace(alive=alive)

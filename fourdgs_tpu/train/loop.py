@@ -123,6 +123,20 @@ def eval_step(state: TrainState, camera: Camera, bg: jnp.ndarray, *,
                   stage=stage)
 
 
+@jax.jit
+def _param_nan_count(state: TrainState) -> jnp.ndarray:
+    """Total NaN count across all parameter leaves.
+
+    A fully NaN-poisoned model culls every gaussian and renders pure
+    background, so the photometric loss stays FINITE — a loss-only NaN
+    guard never fires (observed on a diverging run). This probe is a cheap
+    fused reduction over all parameter leaves. NaN (not inf) is the poison
+    signature: masked-out infs become NaN via 0 * inf in the backward and
+    then spread through Adam."""
+    return sum(jnp.sum(jnp.isnan(leaf)) for leaf in
+               jax.tree.leaves(state.params))
+
+
 # ---------------------------------------------------------------------------
 # Bucketed capacity management (host side)
 # ---------------------------------------------------------------------------
@@ -192,6 +206,7 @@ class StageResult:
     state: TrainState
     history: list
     wall_time: float
+    active_sh: int = 0
 
 
 def run_stage(
@@ -218,7 +233,16 @@ def run_stage(
     epoch_order_fn: Callable | None = None,
     mesh=None,
     on_iteration: Callable | None = None,
+    start_iteration: int = 0,
+    initial_active_sh: int = 0,
 ) -> StageResult:
+    """`start_iteration` resumes the stage mid-way: the loop runs
+    range(start_iteration+1, iterations+1) so all it-based schedules
+    (densify, opacity reset, SH ramp, saves) stay aligned with the
+    reference's resume semantics (ref train.py:47-55,108).
+    `initial_active_sh` carries the SH degree across stage boundaries and
+    checkpoint restores (the reference persists active_sh_degree on the
+    model)."""
     opt = cfg.opt
     deform_cfg = deform_config_from(cfg)
     bg = jnp.asarray([1.0, 1.0, 1.0] if cfg.model.white_background
@@ -241,14 +265,17 @@ def run_stage(
     perm = next_epoch()
     ptr = 0
 
-    active_sh = 0
+    active_sh = min(initial_active_sh, cfg.model.sh_degree)
     history = []
     t0 = time.perf_counter()
     paused = 0.0
     nan_check_every = 25  # device->host sync cadence for the NaN guard
-    last_good, last_good_it = None, 0
+    # seed the guard with the incoming state so a divergence inside the
+    # first check window can still roll back (instead of aborting)
+    last_good, last_good_it = state, start_iteration
+    rollbacks = 0
 
-    for it in range(1, iterations + 1):
+    for it in range(start_iteration + 1, iterations + 1):
         if on_iteration is not None:
             # e.g. the GUI socket poll (ref train.py:109-134); excluded
             # from reported train time
@@ -287,18 +314,25 @@ def run_stage(
 
         # NaN guard: roll back to the last known-good state instead of the
         # reference's full process re-exec (ref train.py:220-222).
-        if it % nan_check_every == 0:
-            if not np.isfinite(float(aux.loss)):
-                if last_good is not None:
-                    print(f"[{stage} {it}] loss non-finite; rolling back "
-                          f"{it - last_good_it} iterations")
-                    state = last_good
-                else:
+        if it % nan_check_every == 0 or it == iterations:
+            healthy = (np.isfinite(float(aux.loss))
+                       and int(_param_nan_count(state)) == 0)
+            if not healthy:
+                rollbacks += 1
+                if rollbacks >= 3:
                     raise FloatingPointError(
-                        f"loss non-finite at {stage} iteration {it} with no "
-                        "good state to roll back to")
+                        f"loss non-finite at {stage} iteration {it} after "
+                        f"{rollbacks - 1} rollbacks; training diverged")
+                print(f"[{stage} {it}] loss non-finite; rolling back "
+                      f"{it - last_good_it} iterations")
+                state = last_good
+                # resample the batch order so the retry takes a different
+                # trajectory instead of replaying the diverging batches
+                perm = next_epoch()
+                ptr = 0
             else:
                 last_good, last_good_it = state, it
+                rollbacks = 0  # only consecutive failures count as divergence
 
         # --- densification schedule (ref train.py:259-285) ---
         if it < opt.densify_until_iter:
@@ -319,7 +353,6 @@ def run_stage(
             if (it > opt.densify_from_iter
                     and it % opt.densification_interval == 0
                     and n_alive < opt.densify_max_points):
-                size_thresh = 20 if it > opt.opacity_reset_interval else None
                 # grow bucket first so clones/splits find free slots
                 bucket = pick_bucket(n_alive, cfg.raster.capacity)
                 if bucket != state.capacity:
@@ -362,7 +395,7 @@ def run_stage(
             if it in save_iterations and on_save:
                 on_save(it, state)
             if it in checkpoint_iterations and on_checkpoint:
-                on_checkpoint(it, state)
+                on_checkpoint(it, state, active_sh)
             paused += time.perf_counter() - tp
 
         if it % log_every == 0 or it == iterations:
@@ -382,4 +415,5 @@ def run_stage(
             paused += time.perf_counter() - tp
 
     return StageResult(state=state, history=history,
-                       wall_time=time.perf_counter() - t0 - paused)
+                       wall_time=time.perf_counter() - t0 - paused,
+                       active_sh=active_sh)

@@ -29,16 +29,26 @@ def read_images(renders_dir, gt_dir):
 
 
 def try_lpips():
+    """Preferred backend: the pure-JAX LPIPS with npz weights (no torch
+    needed, see fourdgs_tpu/ops/lpips.py); falls back to an importable
+    torch lpips package; None when neither is available."""
+    from fourdgs_tpu.ops import lpips as jlpips
+    nets = {k: jlpips.make_lpips_fn(k) for k in ("vgg", "alex")}
+    nets = {k: v for k, v in nets.items() if v is not None}
+    if nets:
+        def fn(r, g):
+            return {f"lpips-{k}": net(r, g) for k, net in nets.items()}
+        return fn
     try:
         import lpips  # noqa: F401
         import torch
-        nets = {"vgg": lpips.LPIPS(net="vgg"), "alex": lpips.LPIPS(net="alex")}
+        tnets = {"vgg": lpips.LPIPS(net="vgg"), "alex": lpips.LPIPS(net="alex")}
 
         def fn(r, g):
             out = {}
             tr = torch.from_numpy(r.transpose(2, 0, 1))[None] * 2 - 1
             tg = torch.from_numpy(g.transpose(2, 0, 1))[None] * 2 - 1
-            for k, net in nets.items():
+            for k, net in tnets.items():
                 out[f"lpips-{k}"] = float(net(tr, tg).item())
             return out
         return fn

@@ -208,10 +208,10 @@ def main():
         return on_save
 
     def make_on_ckpt(stage):
-        def on_ckpt(it, state):
+        def on_ckpt(it, state, active_sh):
             path = os.path.join(cfg.model.model_path,
                                 f"chkpnt_{stage}_{it}.npz")
-            checkpoint.save_checkpoint(state, path, it, stage)
+            checkpoint.save_checkpoint(state, path, it, stage, active_sh)
             print(f"\n[ITER {it}] Saved checkpoint {path}")
         return on_ckpt
 
@@ -220,11 +220,13 @@ def main():
               ("fine", cfg.opt.iterations)]
     start_stage = 0
     if args.start_checkpoint:
-        _, it0, stage0 = checkpoint.load_checkpoint(args.start_checkpoint, st)
+        _, it0, stage0, _ = checkpoint.load_checkpoint(
+            args.start_checkpoint, st)
         if stage0 == "fine":
             start_stage = 1
             print("start from fine stage, skip coarse stage.")
 
+    active_sh = 0  # persists across stages (ref keeps active_sh_degree)
     for si, (stage, iters) in enumerate(stages):
         if si < start_stage:
             continue
@@ -232,9 +234,12 @@ def main():
         tx = optim.build_optimizer(cfg.opt, scene.cameras_extent, st.params)
         st = st._replace(opt_state=tx.init(st.params),
                          step=jnp.zeros([], jnp.int32))
+        start_it = 0
         if args.start_checkpoint and si == start_stage:
-            st, it0, _ = checkpoint.load_checkpoint(args.start_checkpoint, st)
-            print(f"resumed {stage} stage at iteration {it0}")
+            st, start_it, _, active_sh = checkpoint.load_checkpoint(
+                args.start_checkpoint, st)
+            print(f"resumed {stage} stage at iteration {start_it} "
+                  f"(sh degree {active_sh})")
         zmask = (scene.zerostamp_mask()
                  if stage == "coarse" and cfg.opt.zerostamp_init else None)
         if args.profile and stage == "fine":
@@ -251,10 +256,12 @@ def main():
             on_test=make_on_test(stage), on_save=make_on_save(stage),
             on_checkpoint=make_on_ckpt(stage),
             epoch_order_fn=None if stage == "coarse" else epoch_order_fn,
-            mesh=mesh, on_iteration=make_on_iteration(stage))
+            mesh=mesh, on_iteration=make_on_iteration(stage),
+            start_iteration=start_it, initial_active_sh=active_sh)
         if args.profile and stage == "fine":
             jax.profiler.stop_trace()
         st = res.state
+        active_sh = res.active_sh
         total_time += res.wall_time
         print(f"{stage} stage done in {res.wall_time:.1f}s "
               f"({int(st.alive.sum())} points)")

@@ -45,9 +45,9 @@ class TestSnapshots:
         cfg = tiny_config(cap=64)
         st = make_state(cfg, n=16)
         p = str(tmp_path / "chk.npz")
-        checkpoint.save_checkpoint(st, p, 123, "fine")
-        st2, it, stage = checkpoint.load_checkpoint(p, st)
-        assert (it, stage) == (123, "fine")
+        checkpoint.save_checkpoint(st, p, 123, "fine", active_sh=2)
+        st2, it, stage, active_sh = checkpoint.load_checkpoint(p, st)
+        assert (it, stage, active_sh) == (123, "fine", 2)
         for a, b in zip(jax.tree.leaves(st), jax.tree.leaves(st2)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=0, err_msg="exact resume")

@@ -48,7 +48,9 @@ def test_nan_guard_raises_without_good_state(gt_data):
     st = st._replace(opt_state=tx.init(st.params))
     rcfg = loop.raster_config_from(cfg, W, H)
     bad = images.at[:].set(jnp.nan)
+    # deterministically-bad data keeps failing every check; the guard rolls
+    # back twice then gives up on the third consecutive non-finite check
     with pytest.raises(FloatingPointError):
-        loop.run_stage(cfg, st, "coarse", 30, cams, bad, tx, rcfg,
+        loop.run_stage(cfg, st, "coarse", 80, cams, bad, tx, rcfg,
                        rng=np.random.default_rng(1), key=jax.random.key(2),
                        log_every=100)
