@@ -19,3 +19,11 @@ Package layout (see SURVEY.md for the reference component inventory):
 """
 
 __version__ = "0.1.0"
+
+from fourdgs_tpu.utils.jax_setup import respect_platform_env as _rpe
+
+# Honor FOURDGS_PLATFORM / JAX_PLATFORMS_OVERRIDE before any backend
+# initializes (a sitecustomize-preregistered TPU plugin clobbers plain
+# JAX_PLATFORMS, so CLI runs need an env knob that survives it).
+_rpe()
+del _rpe

@@ -99,11 +99,84 @@ def _load_image(info, downscale: int = 1) -> np.ndarray:
     return img
 
 
+class ImageBank:
+    """Image storage for one split with a device/host/lazy residency ladder.
+
+    The reference streams frames from disk through DataLoader workers (ref
+    scene/dataset.py:19-43 + train.py:89-94); on TPU the equivalent is:
+
+      * "device": the whole split lives in HBM as one f32 array — per-step
+        cost is a device-side gather (small splits, e.g. D-NeRF);
+      * "host": the split lives in host RAM as uint8; each batch is
+        converted + device_put per step (JAX dispatch is async, so the
+        transfer overlaps the previous step's compute);
+      * "lazy": only file paths are kept; batches are decoded on demand
+        with a small LRU — DyNeRF-scale splits (100s of GB decoded) train
+        without ever materializing the split anywhere.
+
+    Duck-types the array surface the train loop uses: `bank[idxs]` returns
+    a device-resident (B, H, W, 3) f32 batch, `.shape[0]`/len() give the
+    view count.
+    """
+
+    def __init__(self, mode: str, *, device_images=None, host_images=None,
+                 infos=None, downscale: int = 1, n: int = 0,
+                 height: int = 0, width: int = 0, cache_size: int = 64):
+        self.mode = mode
+        self._device = device_images
+        self._host = host_images
+        self._infos = infos
+        self._downscale = downscale
+        self._n = n
+        self._hw = (height, width)
+        self._cache: dict[int, np.ndarray] = {}
+        self._cache_size = cache_size
+
+    @property
+    def shape(self):
+        if self.mode == "device":
+            return self._device.shape
+        if self.mode == "host":
+            return self._host.shape
+        return (self._n, self._hw[0], self._hw[1], 3)
+
+    def __len__(self):
+        return int(self.shape[0])
+
+    def _load_lazy(self, i: int) -> np.ndarray:
+        if i in self._cache:
+            return self._cache[i]
+        img = np.rint(_load_image(self._infos[i], self._downscale)
+                      * 255.0).astype(np.uint8)
+        if len(self._cache) >= self._cache_size:
+            self._cache.pop(next(iter(self._cache)))
+        self._cache[i] = img
+        return img
+
+    def __getitem__(self, idxs):
+        if self.mode == "device":
+            return self._device[idxs]
+        if np.ndim(idxs) == 0:
+            return self[np.asarray([idxs])][0]
+        idxs = np.asarray(idxs)
+        if self.mode == "host":
+            batch = self._host[idxs]
+        else:
+            batch = np.stack([self._load_lazy(int(i)) for i in idxs])
+        return jnp.asarray(batch, jnp.float32) / 255.0
+
+
+# staging budget: splits bigger than this (decoded f32) stay off-device
+DEVICE_IMAGE_BUDGET = 4 << 30
+# splits bigger than this (uint8) are not even host-materialized
+HOST_IMAGE_BUDGET = 16 << 30
+
+
 @dataclass
 class StackedCameras:
-    """Device-resident camera + image bank for one split."""
+    """Camera pytree (device) + image bank for one split."""
     cameras: Camera            # batched pytree, leading dim = n views
-    images: jnp.ndarray | None  # (n, H, W, 3) or None for pose-only splits
+    images: "ImageBank | jnp.ndarray | None"
     times: np.ndarray
     width: int
     height: int
@@ -112,26 +185,52 @@ class StackedCameras:
         return int(np.asarray(self.times).shape[0])
 
 
-def stack_cameras(infos: list, with_images: bool = True,
-                  downscale: int = 1) -> StackedCameras:
-    """Uniform downscaling keeps FoVs valid (focal scales with pixels)."""
-    cams = [camera_from_info(i) for i in infos]
-    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
-    images = None
-    if with_images:
-        images = jnp.asarray(np.stack([_load_image(i, downscale)
-                                       for i in infos]))
-    first = infos[0]
-    if isinstance(first, dict):
-        w, h = first["width"], first["height"]
+def _info_dims(info, downscale):
+    if isinstance(info, dict):
+        w, h = info["width"], info["height"]
     else:
-        w, h = first.width, first.height
+        w, h = info.width, info.height
     if downscale > 1:
         w, h = w // downscale, h // downscale
+    return int(w), int(h)
+
+
+def stack_cameras(infos: list, with_images: bool = True,
+                  downscale: int = 1,
+                  device_budget: int = DEVICE_IMAGE_BUDGET,
+                  host_budget: int = HOST_IMAGE_BUDGET) -> StackedCameras:
+    """Uniform downscaling keeps FoVs valid (focal scales with pixels).
+    Image residency (device/host/lazy) is chosen from the decoded split
+    size against the budgets — see ImageBank."""
+    cams = [camera_from_info(i) for i in infos]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
+    first = infos[0]
+    w, h = _info_dims(first, downscale)
     times = np.array([i["time"] if isinstance(i, dict) else i.time
                       for i in infos], np.float32)
+    images = None
+    if with_images:
+        n = len(infos)
+        f32_bytes = n * h * w * 3 * 4
+        u8_bytes = n * h * w * 3
+        can_lazy = all(
+            (isinstance(i, dict) and i.get("image") is not None)
+            or (not isinstance(i, dict) and (i.image is not None
+                                             or i.image_path)) for i in infos)
+        if f32_bytes <= device_budget:
+            images = ImageBank(
+                "device",
+                device_images=jnp.asarray(np.stack(
+                    [_load_image(i, downscale) for i in infos])))
+        elif u8_bytes <= host_budget or not can_lazy:
+            images = ImageBank("host", host_images=np.stack(
+                [np.rint(_load_image(i, downscale) * 255.0).astype(np.uint8)
+                 for i in infos]))
+        else:
+            images = ImageBank("lazy", infos=infos, downscale=downscale,
+                               n=n, height=h, width=w)
     return StackedCameras(cameras=stacked, images=images, times=times,
-                          width=int(w), height=int(h))
+                          width=w, height=h)
 
 
 @dataclass

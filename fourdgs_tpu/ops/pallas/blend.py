@@ -70,8 +70,8 @@ def _chunk_math(attrs, px, py, t_in):
     return alpha_u, alpha, use, w, t_pref, t_prod, dx, dy
 
 
-def _fwd_kernel(attrs_ref, px_ref, py_ref, color_ref, depth_ref, t_ref,
-                acc_c, acc_d, acc_t, *, k, n_chunks):
+def _fwd_kernel(need_ref, attrs_ref, px_ref, py_ref, color_ref, depth_ref,
+                t_ref, acc_c, acc_d, acc_t, *, k, n_chunks):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -81,7 +81,10 @@ def _fwd_kernel(attrs_ref, px_ref, py_ref, color_ref, depth_ref, t_ref,
         acc_t[:] = jnp.ones_like(acc_t)
 
     t_in = acc_t[:]                      # (T, 1, P)
-    live = jnp.max(t_in) > T_MIN
+    # skip chunks past this tile-block's occupancy (the index map also
+    # clamps the DMA to a repeated block, so skipped chunks cost nothing)
+    # and chunks whose entering transmittance is fully saturated
+    live = (j < need_ref[pl.program_id(0)]) & (jnp.max(t_in) > T_MIN)
 
     @pl.when(live)
     def _():
@@ -102,7 +105,7 @@ def _fwd_kernel(attrs_ref, px_ref, py_ref, color_ref, depth_ref, t_ref,
         t_ref[:] = acc_t[:]
 
 
-def _bwd_kernel(attrs_ref, px_ref, py_ref, gc_ref, gd_ref, gt_ref,
+def _bwd_kernel(need_ref, attrs_ref, px_ref, py_ref, gc_ref, gd_ref, gt_ref,
                 rc_ref, rd_ref, tfin_ref, grads_ref,
                 acc_cg, acc_dg, acc_t, *, k, n_chunks):
     j = pl.program_id(1)
@@ -113,55 +116,61 @@ def _bwd_kernel(attrs_ref, px_ref, py_ref, gc_ref, gd_ref, gt_ref,
         acc_dg[:] = jnp.zeros_like(acc_dg)
         acc_t[:] = jnp.ones_like(acc_t)
 
-    t_in = acc_t[:]
-    attrs = attrs_ref[:]
-    alpha_u, alpha, use, w, t_pref, t_prod, dx, dy = _chunk_math(
-        attrs, px_ref[:], py_ref[:], t_in)
+    # chunks past the tile-block's occupancy: no DMA (clamped index map),
+    # no compute, and no write-back (the consumer masks untouched rows by
+    # gidx == -1, so their content is never read)
+    @pl.when(j < need_ref[pl.program_id(0)])
+    def _():
+        t_in = acc_t[:]
+        attrs = attrs_ref[:]
+        alpha_u, alpha, use, w, t_pref, t_prod, dx, dy = _chunk_math(
+            attrs, px_ref[:], py_ref[:], t_in)
 
-    gc = gc_ref[:]           # (T, 3, P)
-    gd = gd_ref[:]           # (T, 1, P)
-    gt = gt_ref[:]
-    cg = (attrs[:, :, 5:6] * gc[:, 0:1] + attrs[:, :, 6:7] * gc[:, 1:2]
-          + attrs[:, :, 7:8] * gc[:, 2:3])
-    dg = attrs[:, :, 9:10] * gd
-    after_cg = acc_cg[:] + _scan_op(w * cg, k, jnp.add, 0.0)
-    after_dg = acc_dg[:] + _scan_op(w * dg, k, jnp.add, 0.0)
+        gc = gc_ref[:]           # (T, 3, P)
+        gd = gd_ref[:]           # (T, 1, P)
+        gt = gt_ref[:]
+        cg = (attrs[:, :, 5:6] * gc[:, 0:1] + attrs[:, :, 6:7] * gc[:, 1:2]
+              + attrs[:, :, 7:8] * gc[:, 2:3])
+        dg = attrs[:, :, 9:10] * gd
+        after_cg = acc_cg[:] + _scan_op(w * cg, k, jnp.add, 0.0)
+        after_dg = acc_dg[:] + _scan_op(w * dg, k, jnp.add, 0.0)
 
-    one_m_a = jnp.maximum(1.0 - alpha, 1.0 - ALPHA_MAX)
-    da = jnp.where(
-        use,
-        t_pref * (cg + dg)
-        - (rc_ref[:] - after_cg + rd_ref[:] - after_dg
-           + gt * tfin_ref[:]) / one_m_a,
-        0.0)
-    d_op = da * jnp.where(attrs[:, :, 8:9] > 0,
-                          alpha_u / jnp.maximum(attrs[:, :, 8:9], 1e-20), 0.0)
-    d_pow = da * alpha_u
+        one_m_a = jnp.maximum(1.0 - alpha, 1.0 - ALPHA_MAX)
+        da = jnp.where(
+            use,
+            t_pref * (cg + dg)
+            - (rc_ref[:] - after_cg + rd_ref[:] - after_dg
+               + gt * tfin_ref[:]) / one_m_a,
+            0.0)
+        d_op = da * jnp.where(attrs[:, :, 8:9] > 0,
+                              alpha_u / jnp.maximum(attrs[:, :, 8:9], 1e-20),
+                              0.0)
+        d_pow = da * alpha_u
 
-    def rsum(x):
-        return jnp.sum(x, axis=2, keepdims=True)   # (T, K, 1)
+        def rsum(x):
+            return jnp.sum(x, axis=2, keepdims=True)   # (T, K, 1)
 
-    cols = [
-        rsum(d_pow * -(attrs[:, :, 2:3] * dx + attrs[:, :, 3:4] * dy)),
-        rsum(d_pow * -(attrs[:, :, 4:5] * dy + attrs[:, :, 3:4] * dx)),
-        rsum(-0.5 * d_pow * dx * dx),
-        rsum(-d_pow * dx * dy),
-        rsum(-0.5 * d_pow * dy * dy),
-        rsum(w * gc[:, 0:1]),
-        rsum(w * gc[:, 1:2]),
-        rsum(w * gc[:, 2:3]),
-        rsum(d_op),
-        rsum(w * gd),
-    ]
-    t_blk = attrs.shape[0]
-    out = jnp.concatenate(
-        cols + [jnp.zeros((t_blk, k, ATTR_W - len(cols)), jnp.float32)],
-        axis=2)
-    grads_ref[:] = out
+        cols = [
+            rsum(d_pow * -(attrs[:, :, 2:3] * dx + attrs[:, :, 3:4] * dy)),
+            rsum(d_pow * -(attrs[:, :, 4:5] * dy + attrs[:, :, 3:4] * dx)),
+            rsum(-0.5 * d_pow * dx * dx),
+            rsum(-d_pow * dx * dy),
+            rsum(-0.5 * d_pow * dy * dy),
+            rsum(w * gc[:, 0:1]),
+            rsum(w * gc[:, 1:2]),
+            rsum(w * gc[:, 2:3]),
+            rsum(d_op),
+            rsum(w * gd),
+        ]
+        t_blk = attrs.shape[0]
+        out = jnp.concatenate(
+            cols + [jnp.zeros((t_blk, k, ATTR_W - len(cols)), jnp.float32)],
+            axis=2)
+        grads_ref[:] = out
 
-    acc_cg[:] = after_cg[:, k - 1:k, :]
-    acc_dg[:] = after_dg[:, k - 1:k, :]
-    acc_t[:] = t_in * t_prod
+        acc_cg[:] = after_cg[:, k - 1:k, :]
+        acc_dg[:] = after_dg[:, k - 1:k, :]
+        acc_t[:] = t_in * t_prod
 
 
 def _pack_attrs(gidx, pix, conic, color, opacity, depth):
@@ -199,84 +208,113 @@ def make_blend(cfg):
             return x, nt
         return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1)), nt
 
-    def _fwd_call(attrs, px, py):
+    def _need_chunks(gidx):
+        """Per tile-BLOCK number of live chunks (scalar-prefetch input).
+
+        Padded slots are contiguous at the tail (gidx == -1), so the live
+        chunk count of a tile is ceil(count / k); a block of t_blk tiles
+        processes the max over its tiles. Clamped to >= 1 so the index-map
+        clamp below stays in range."""
+        counts = (gidx >= 0).sum(axis=1).astype(jnp.int32)
+        pad = (-counts.shape[0]) % t_blk
+        counts = jnp.pad(counts, (0, pad))
+        blk_max = counts.reshape(-1, t_blk).max(axis=1)
+        return jnp.clip((blk_max + k - 1) // k, 1, n_chunks)
+
+    # chunk-axis index map: clamp to the block's last live chunk — Pallas
+    # skips the DMA when the mapped block index repeats, so the padded
+    # tail of every tile costs neither bandwidth nor compute
+    _attr_map = lambda t, j, need: (t, jnp.minimum(j, need[t] - 1), 0)
+    _tile_map = lambda t, j, need: (t, 0, 0)
+
+    def _fwd_call(need, attrs, px, py):
         attrs, nt = _pad_tiles(attrs)
         px, _ = _pad_tiles(px)
         py, _ = _pad_tiles(py)
         ntp = attrs.shape[0]
-        out = pl.pallas_call(
-            functools.partial(_fwd_kernel, k=k, n_chunks=n_chunks),
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
             grid=(ntp // t_blk, n_chunks),
             in_specs=[
-                pl.BlockSpec((t_blk, k, ATTR_W), lambda t, j: (t, j, 0),
+                pl.BlockSpec((t_blk, k, ATTR_W), _attr_map,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((t_blk, 1, p), lambda t, j: (t, 0, 0),
+                pl.BlockSpec((t_blk, 1, p), _tile_map,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((t_blk, 1, p), lambda t, j: (t, 0, 0),
+                pl.BlockSpec((t_blk, 1, p), _tile_map,
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((t_blk, 3, p), lambda t, j: (t, 0, 0),
+                pl.BlockSpec((t_blk, 3, p), _tile_map,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((t_blk, 1, p), lambda t, j: (t, 0, 0),
+                pl.BlockSpec((t_blk, 1, p), _tile_map,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((t_blk, 1, p), lambda t, j: (t, 0, 0),
+                pl.BlockSpec((t_blk, 1, p), _tile_map,
                              memory_space=pltpu.VMEM),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((ntp, 3, p), jnp.float32),
-                jax.ShapeDtypeStruct((ntp, 1, p), jnp.float32),
-                jax.ShapeDtypeStruct((ntp, 1, p), jnp.float32),
             ],
             scratch_shapes=[
                 pltpu.VMEM((t_blk, 3, p), jnp.float32),
                 pltpu.VMEM((t_blk, 1, p), jnp.float32),
                 pltpu.VMEM((t_blk, 1, p), jnp.float32),
             ],
+        )
+        out = pl.pallas_call(
+            functools.partial(_fwd_kernel, k=k, n_chunks=n_chunks),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((ntp, 3, p), jnp.float32),
+                jax.ShapeDtypeStruct((ntp, 1, p), jnp.float32),
+                jax.ShapeDtypeStruct((ntp, 1, p), jnp.float32),
+            ],
             interpret=interpret,
-        )(attrs, px, py)
+        )(need, attrs, px, py)
         return [o[:nt] for o in out]
 
-    def _bwd_call(attrs, px, py, gc, gd, gt, rc, rd, tfin):
+    def _bwd_call(need, attrs, px, py, gc, gd, gt, rc, rd, tfin):
         attrs, nt = _pad_tiles(attrs)
         args = [attrs]
         for x in (px, py, gc, gd, gt, rc, rd, tfin):
             xp, _ = _pad_tiles(x)
             args.append(xp)
         ntp = attrs.shape[0]
-        tile1p = pl.BlockSpec((t_blk, 1, p), lambda t, j: (t, 0, 0),
+        tile1p = pl.BlockSpec((t_blk, 1, p), _tile_map,
                               memory_space=pltpu.VMEM)
-        grads = pl.pallas_call(
-            functools.partial(_bwd_kernel, k=k, n_chunks=n_chunks),
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
             grid=(ntp // t_blk, n_chunks),
             in_specs=[
-                pl.BlockSpec((t_blk, k, ATTR_W), lambda t, j: (t, j, 0),
+                pl.BlockSpec((t_blk, k, ATTR_W), _attr_map,
                              memory_space=pltpu.VMEM),
                 tile1p, tile1p,
-                pl.BlockSpec((t_blk, 3, p), lambda t, j: (t, 0, 0),
+                pl.BlockSpec((t_blk, 3, p), _tile_map,
                              memory_space=pltpu.VMEM),
                 tile1p, tile1p, tile1p, tile1p, tile1p,
             ],
             out_specs=[
-                pl.BlockSpec((t_blk, k, ATTR_W), lambda t, j: (t, j, 0),
+                pl.BlockSpec((t_blk, k, ATTR_W), _attr_map,
                              memory_space=pltpu.VMEM),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((ntp, n_chunks * k, ATTR_W),
-                                     jnp.float32),
             ],
             scratch_shapes=[
                 pltpu.VMEM((t_blk, 1, p), jnp.float32),
                 pltpu.VMEM((t_blk, 1, p), jnp.float32),
                 pltpu.VMEM((t_blk, 1, p), jnp.float32),
             ],
+        )
+        grads = pl.pallas_call(
+            functools.partial(_bwd_kernel, k=k, n_chunks=n_chunks),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((ntp, n_chunks * k, ATTR_W),
+                                     jnp.float32),
+            ],
             interpret=interpret,
-        )(*args)[0]
+        )(need, *args)[0]
         return grads[:nt]
 
     def _impl(gidx, px, py, pix, conic, color, opacity, depth):
         attrs = _pack_attrs(gidx, pix, conic, color, opacity, depth)
-        color_t, depth_t, t_t = _fwd_call(attrs, px[:, None], py[:, None])
+        need = _need_chunks(gidx)
+        color_t, depth_t, t_t = _fwd_call(need, attrs, px[:, None],
+                                          py[:, None])
         return (jnp.moveaxis(color_t, 1, 2), depth_t[:, 0], t_t[:, 0])
 
     @jax.custom_vjp
@@ -292,10 +330,11 @@ def make_blend(cfg):
         c_final, d_final, t_final = out
         g_c, g_d, g_t = cotangents
         attrs = _pack_attrs(gidx, pix, conic, color, opacity, depth)
+        need = _need_chunks(gidx)
         rc = (c_final * g_c).sum(-1)
         rd = d_final * g_d
         grads = _bwd_call(
-            attrs, px[:, None], py[:, None], jnp.moveaxis(g_c, 2, 1),
+            need, attrs, px[:, None], py[:, None], jnp.moveaxis(g_c, 2, 1),
             g_d[:, None], g_t[:, None], rc[:, None], rd[:, None],
             t_final[:, None])
         # one row scatter-add into a packed table (mirror of _pack_attrs)

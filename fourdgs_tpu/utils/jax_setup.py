@@ -4,6 +4,19 @@ from __future__ import annotations
 import os
 
 
+def respect_platform_env():
+    """Make JAX_PLATFORMS effective even when a sitecustomize pre-registered
+    a TPU PJRT plugin (it may override the env var before our entry point
+    runs). Must be called before any backend initializes."""
+    plat = os.environ.get("JAX_PLATFORMS_OVERRIDE") or os.environ.get(
+        "FOURDGS_PLATFORM")
+    if not plat:
+        return
+    import jax
+
+    jax.config.update("jax_platforms", plat)
+
+
 def enable_compilation_cache(path: str | None = None):
     """Persistent compilation cache: recompiles of identical programs
     (re-runs, stage restarts, bucket revisits) load from disk instead of
