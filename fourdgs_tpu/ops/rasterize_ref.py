@@ -46,6 +46,12 @@ class RenderOutput(NamedTuple):
     radii: jnp.ndarray        # (N,) int32
     # extras for densification stats (populated by the fast path too)
     visibility: jnp.ndarray   # (N,) bool
+    # binner overflow telemetry (fixed-capacity buffers drop the furthest
+    # pairs when a scene exceeds tile_cap/pair_cap; training quality
+    # degrades silently unless these are surfaced — None from the oracle,
+    # which has no caps)
+    dropped_pairs: jnp.ndarray | None = None   # () int32
+    dropped_tile: jnp.ndarray | None = None    # () int32
 
 
 def _pixel_grid(height: int, width: int):

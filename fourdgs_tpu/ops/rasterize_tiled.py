@@ -547,4 +547,6 @@ def rasterize(
     depth = _untile(depth_t, cfg)
     alpha = 1.0 - _untile(t_t, cfg)
     return RenderOutput(color=color, depth=depth, alpha=alpha,
-                        radii=proj.radius, visibility=proj.radius > 0)
+                        radii=proj.radius, visibility=proj.radius > 0,
+                        dropped_pairs=binned.dropped_pairs,
+                        dropped_tile=binned.dropped_tile)

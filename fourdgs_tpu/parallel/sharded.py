@@ -13,9 +13,13 @@ Greenfield TPU design (the reference is single-GPU, SURVEY.md §5.8):
     (pixel-loss partial sums are psummed over both axes in the forward, so
     the loss scalar is replicated and the backward collective rides ICI).
 
-Projection + binning are currently computed replicated within a tile group
-(cheap relative to blending); sharding the sort itself is a later
-optimization documented in PLAN notes.
+Deformation + SH + projection are GAUSSIAN-sharded over "tile" (each rank
+deforms/projects cap/n_tile gaussians, then all_gathers the projected
+set), so the per-gaussian work scales down with the tile axis; only the
+binning itself still runs replicated per tile rank (it is a small slice of
+the step). The SSIM loss term needs full images, so the rendered tiles are
+all_gathered across "tile" with a 1/n_tile weight on the local term to
+keep the psum'd parameter gradients exact (see `_ssim_term`).
 """
 from __future__ import annotations
 
@@ -31,11 +35,11 @@ from fourdgs_tpu.data.camera import Camera
 from fourdgs_tpu.models.deformation import DeformConfig, deform_apply
 from fourdgs_tpu.models.gaussians import GaussianParams
 from fourdgs_tpu.models.regularization import compute_regulation
-from fourdgs_tpu.ops import sh as sh_ops
+from fourdgs_tpu.ops import losses, sh as sh_ops
 from fourdgs_tpu.ops import transforms
-from fourdgs_tpu.ops.projection import project_gaussians
+from fourdgs_tpu.ops.projection import Projected, project_gaussians
 from fourdgs_tpu.ops.rasterize_tiled import (RasterConfig, _make_blend,
-                                             _tile_pixel_coords,
+                                             _tile_pixel_coords, _untile,
                                              bin_gaussians, tile_image)
 
 
@@ -44,14 +48,38 @@ class ShardedAux(NamedTuple):
     psnr: jnp.ndarray
     radii: jnp.ndarray       # (cap,) max over batch
     visible: jnp.ndarray     # (cap,) any over batch
+    dropped_pairs: jnp.ndarray = 0   # () int32, summed over global batch
+    dropped_tile: jnp.ndarray = 0
 
 
 def _render_tiles_local(params, cfg: RasterConfig, deform_cfg: DeformConfig,
                         aabb, alive, active_sh: int, stage: str, camera,
                         bg, ndc_offset, n_tile: int):
     """Per-device, per-camera: render this rank's tile slice.
+
+    The per-gaussian pipeline (deformation, SH->RGB, EWA projection) runs
+    on a cap/n_tile slice of the gaussian set per tile rank; the projected
+    attributes are then all_gathered so every rank can bin and blend.
+    Gradients stay exact: slicing a replicated input zero-pads in the
+    backward and the shard_map psum of parameter grads re-assembles the
+    full per-gaussian gradient, while all_gather's psum_scatter backward
+    delivers each rank the summed cotangent of exactly its slice.
+
     Returns (color_tiles, t_tiles, depth_tiles, radii)."""
     gauss: GaussianParams = params["gauss"]
+    cap = gauss.xyz.shape[0]
+    shard_gauss = n_tile > 1 and cap % n_tile == 0
+    if shard_gauss:
+        sl = cap // n_tile
+        lo = jax.lax.axis_index("tile") * sl
+
+        def tslice(x):
+            return jax.lax.dynamic_slice_in_dim(x, lo, sl, 0)
+
+        gauss = GaussianParams(*[tslice(getattr(gauss, f))
+                                 for f in GaussianParams._fields])
+        alive = tslice(alive)
+        ndc_offset = tslice(ndc_offset)
     shs = gauss.features()
     if stage == "fine":
         xyz, scaling, rotation, opacity, shs = deform_apply(
@@ -71,6 +99,13 @@ def _render_tiles_local(params, cfg: RasterConfig, deform_cfg: DeformConfig,
     proj = project_gaussians(xyz, scales, quats, camera, cfg.img_width,
                              cfg.img_height, cfg.tile_size,
                              ndc_offset=ndc_offset, alive=alive)
+    if shard_gauss:
+        def gather(x):
+            return jax.lax.all_gather(x, "tile", axis=0, tiled=True)
+
+        proj = Projected(*[gather(f) for f in proj])
+        colors = gather(colors)
+        opacities = gather(opacities)
     binned = jax.tree.map(
         jax.lax.stop_gradient,
         bin_gaussians(jax.tree.map(jax.lax.stop_gradient, proj), cfg))
@@ -94,12 +129,13 @@ def _render_tiles_local(params, cfg: RasterConfig, deform_cfg: DeformConfig,
     color_t, depth_t, t_t = blend(gidx, px, py, proj.pix, proj.conic, colors,
                                   opacities, proj.depth)
     color_t = color_t + t_t[..., None] * bg
-    return color_t, t_t, depth_t, proj.radius
+    return (color_t, t_t, depth_t, proj.radius,
+            binned.dropped_pairs, binned.dropped_tile)
 
 
 def make_sharded_loss(mesh: Mesh, cfg: RasterConfig,
                       deform_cfg: DeformConfig, stage: str, active_sh: int,
-                      reg_weights: tuple):
+                      reg_weights: tuple, lambda_dssim: float = 0.0):
     """Returns loss_fn(params, ndc_offset, alive, aabb, cameras, gts_tiled,
     bg) -> (loss, aux). cameras/gts are GLOBAL batch arrays; sharding is
     handled inside."""
@@ -118,7 +154,7 @@ def make_sharded_loss(mesh: Mesh, cfg: RasterConfig,
                                        active_sh, stage, cam, bg, ndc_offset,
                                        n_tile)
 
-        color_t, t_t, depth_t, radii = jax.vmap(one)(cameras)
+        color_t, t_t, depth_t, radii, drop_p, drop_t = jax.vmap(one)(cameras)
         abs_err = jnp.abs(color_t - gts_tiled)
         l1_partial = abs_err.sum()
         sq_partial = ((color_t - gts_tiled) ** 2).sum(axis=(1, 2, 3))
@@ -139,17 +175,38 @@ def make_sharded_loss(mesh: Mesh, cfg: RasterConfig,
             time_w, l1_w, tv_w = reg_weights
             loss = loss + compute_regulation(params["deform"]["grid"],
                                              time_w, l1_w, tv_w)
+        if lambda_dssim != 0:
+            # SSIM needs whole images: all_gather the rendered + gt tiles
+            # along "tile" and untile. Every tile rank computes the same
+            # term, so scale it by 1/n_tile — the shard_map backward psums
+            # parameter grads over ranks, and all_gather's psum_scatter VJP
+            # then hands each rank exactly its slice's cotangent (summed
+            # over the n_tile identical copies), keeping gradients equal
+            # to the single-device step (ref train.py:212-214).
+            color_full = jax.lax.all_gather(color_t, "tile", axis=1,
+                                            tiled=True)
+            gts_full = jax.lax.all_gather(gts_tiled, "tile", axis=1,
+                                          tiled=True)
+            imgs = jax.vmap(lambda x: _untile(x, cfg))(color_full)
+            gt_imgs = jax.vmap(lambda x: _untile(x, cfg))(gts_full)
+            term = lambda_dssim * (1.0 - losses.ssim(imgs, gt_imgs)) / n_tile
+            loss = loss + jax.lax.pmean(jax.lax.psum(term, "tile"), "data")
 
         radii = jax.lax.pmax(radii.max(axis=0), "data")
         radii = jax.lax.pmax(radii, "tile")  # identical; keeps rep invariant
-        aux = ShardedAux(l1=l1, psnr=psnr, radii=radii, visible=radii > 0)
+        # binning is replicated within a tile group (identical values
+        # across "tile"); summing over "data" gives the global batch total
+        drops = jax.lax.psum(jnp.stack([drop_p.sum(), drop_t.sum()]), "data")
+        aux = ShardedAux(l1=l1, psnr=psnr, radii=radii, visible=radii > 0,
+                         dropped_pairs=drops[0], dropped_tile=drops[1])
         return loss, aux
 
     cam_spec = jax.tree.map(lambda _: P("data"), Camera(*Camera._fields))
     smapped = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(), P(), P(), P(), cam_spec, P("data", "tile"), P()),
-        out_specs=(P(), ShardedAux(l1=P(), psnr=P(), radii=P(), visible=P())),
+        out_specs=(P(), ShardedAux(l1=P(), psnr=P(), radii=P(), visible=P(),
+                                   dropped_pairs=P(), dropped_tile=P())),
         check_vma=False)
     return smapped
 
@@ -157,14 +214,16 @@ def make_sharded_loss(mesh: Mesh, cfg: RasterConfig,
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "stage", "active_sh", "raster_cfg", "deform_cfg",
-                     "tx", "reg_weights"))
+                     "tx", "reg_weights", "lambda_dssim"))
 def sharded_train_step(state, cameras, gts, bg, *, mesh: Mesh, stage: str,
                        active_sh: int, raster_cfg: RasterConfig,
-                       deform_cfg: DeformConfig, tx, reg_weights: tuple):
+                       deform_cfg: DeformConfig, tx, reg_weights: tuple,
+                       lambda_dssim: float = 0.0):
     """Full train step over the mesh: sharded forward/backward, replicated
     optimizer update, densification-stat accumulation."""
     loss_fn = make_sharded_loss(mesh, raster_cfg, deform_cfg, stage,
-                                active_sh, reg_weights)
+                                active_sh, reg_weights,
+                                lambda_dssim=lambda_dssim)
     cap = state.capacity
     gts_tiled = jax.vmap(lambda im: tile_image(im, raster_cfg))(gts)
     gts_tiled = gts_tiled.reshape(gts.shape[0], raster_cfg.num_tiles, -1, 3)
@@ -194,3 +253,36 @@ def sharded_train_step(state, cameras, gts, bg, *, mesh: Mesh, stage: str,
 
 def sharded_loss_fn(*args, **kwargs):
     return make_sharded_loss(*args, **kwargs)
+
+
+@functools.lru_cache(maxsize=8)
+def _make_sharded_render(mesh: Mesh, cfg: RasterConfig,
+                         deform_cfg: DeformConfig, stage: str,
+                         active_sh: int):
+    n_tile = mesh.shape["tile"]
+
+    def body(params, alive, aabb, camera, bg):
+        cap = params["gauss"].xyz.shape[0]
+        color_t, t_t, depth_t, *_ = _render_tiles_local(
+            params, cfg, deform_cfg, aabb, alive, active_sh, stage, camera,
+            bg, jnp.zeros((cap, 2)), n_tile)
+        color_t = jax.lax.all_gather(color_t, "tile", axis=0, tiled=True)
+        depth_t = jax.lax.all_gather(depth_t, "tile", axis=0, tiled=True)
+        t_t = jax.lax.all_gather(t_t, "tile", axis=0, tiled=True)
+        return (_untile(color_t, cfg), _untile(depth_t, cfg),
+                1.0 - _untile(t_t, cfg))
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P()), check_vma=False))
+
+
+def sharded_eval_render(state, camera: Camera, bg, *, mesh: Mesh,
+                        raster_cfg: RasterConfig, deform_cfg: DeformConfig,
+                        stage: str, active_sh: int):
+    """Tile-sharded novel-view render (eval/render-CLI counterpart of
+    loop.eval_step): the per-gaussian pipeline and the blend are split
+    across the mesh's "tile" axis, and the assembled (H, W) image/depth/
+    alpha are returned replicated."""
+    fn = _make_sharded_render(mesh, raster_cfg, deform_cfg, stage, active_sh)
+    return fn(state.params, state.alive, state.aabb, camera, bg)

@@ -45,6 +45,9 @@ class StepAux(NamedTuple):
     l1: jnp.ndarray
     psnr: jnp.ndarray
     image: jnp.ndarray          # first image of batch (for debug/eval)
+    # binner overflow telemetry, summed over the batch (0 = clean step)
+    dropped_pairs: Any = 0
+    dropped_tile: Any = 0
 
 
 def raster_config_from(cfg: Config, width: int, height: int) -> RasterConfig:
@@ -109,7 +112,9 @@ def train_step(state: TrainState, cameras: Camera, gts: jnp.ndarray,
             + jnp.where(visible, gnorm, 0.0),
             denom=state.denom + visible.astype(jnp.float32),
         )
-    aux = StepAux(loss=loss, l1=l1, psnr=psnr, image=outs.color[0])
+    aux = StepAux(loss=loss, l1=l1, psnr=psnr, image=outs.color[0],
+                  dropped_pairs=outs.dropped_pairs.sum(),
+                  dropped_tile=outs.dropped_tile.sum())
     return new_state, aux
 
 
@@ -293,17 +298,32 @@ def run_stage(
             ptr = 0
         idxs = perm[ptr:ptr + batch]
         ptr += batch
-        cams = jax.tree.map(lambda a: a[idxs], stacked_cameras)
-        gts = images[idxs]
+
+        if mesh is not None and jax.process_count() > 1:
+            # multi-host: every process drew the same permutation (same
+            # seed); each loads only its contiguous slice of the global
+            # batch and the slices are assembled into one global array
+            # sharded over the mesh's data axis (DCN story, SURVEY §5.8)
+            from fourdgs_tpu.parallel import multihost
+            sl = multihost.host_batch_slice(len(idxs))
+            cams = jax.tree.map(lambda a: a[idxs[sl]], stacked_cameras)
+            cams, gts = multihost.global_batch(
+                (cams, images[idxs[sl]]), mesh)
+        else:
+            cams = jax.tree.map(lambda a: a[idxs], stacked_cameras)
+            gts = images[idxs]
 
         if mesh is not None:
             from fourdgs_tpu.parallel.sharded import sharded_train_step
             state, loss, saux = sharded_train_step(
                 state, cams, gts, bg, mesh=mesh, stage=stage,
                 active_sh=active_sh, raster_cfg=raster_cfg,
-                deform_cfg=deform_cfg, tx=tx, reg_weights=reg_weights)
+                deform_cfg=deform_cfg, tx=tx, reg_weights=reg_weights,
+                lambda_dssim=float(opt.lambda_dssim))
             aux = StepAux(loss=loss, l1=saux.l1, psnr=saux.psnr,
-                          image=jnp.zeros((1, 1, 3)))
+                          image=jnp.zeros((1, 1, 3)),
+                          dropped_pairs=saux.dropped_pairs,
+                          dropped_tile=saux.dropped_tile)
         else:
             state, aux = train_step(
                 state, cams, gts, bg, jnp.int32(active_sh), stage=stage,
@@ -400,15 +420,27 @@ def run_stage(
 
         if it % log_every == 0 or it == iterations:
             tp = time.perf_counter()
+            dropped_pairs = int(jnp.asarray(aux.dropped_pairs))
+            dropped_tile = int(jnp.asarray(aux.dropped_tile))
             rec = dict(stage=stage, iter=it, loss=float(aux.loss),
                        l1=float(aux.l1), psnr=float(aux.psnr),
                        points=int(state.alive.sum()),
                        capacity=state.capacity,
                        elapsed=tp - t0 - paused,
+                       # binner overflow telemetry (ref has none — CUDA
+                       # buffers grow dynamically; our fixed caps drop the
+                       # furthest pairs, which must not happen silently)
+                       dropped_pairs=dropped_pairs,
+                       dropped_tile=dropped_tile,
                        # divergence telltales (cheap reductions)
                        rot_max=float(jnp.abs(
                            state.params["gauss"].rotation).max()),
                        op_max=float(state.params["gauss"].opacity.max()))
+            if dropped_pairs or dropped_tile:
+                print(f"[{stage} {it}] WARNING: binner overflow — "
+                      f"{dropped_pairs} pairs / {dropped_tile} tile-cap "
+                      f"drops this step; raise tile_cap/pair_cap or the "
+                      f"scene will lose far gaussians")
             history.append(rec)
             if log_fn:
                 log_fn(rec)

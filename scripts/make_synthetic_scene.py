@@ -70,6 +70,15 @@ def main():
     parser.add_argument("--n_test", type=int, default=10)
     parser.add_argument("--white_background", action="store_true",
                         default=True)
+    parser.add_argument(
+        "--protocol", choices=["monocular", "multiview"], default="monocular",
+        help="monocular: one spiral view per timestamp (D-NeRF-like). "
+        "multiview: a fixed rig of --n_cams cameras each seeing all "
+        "--n_times timestamps; camera 0 is held out as the test split "
+        "(DyNeRF-like holdout) — the honest novel-view generalization "
+        "benchmark for the deformation field.")
+    parser.add_argument("--n_cams", type=int, default=6)
+    parser.add_argument("--n_times", type=int, default=30)
     args = parser.parse_args()
 
     import jax
@@ -116,9 +125,43 @@ def main():
                                f"transforms_{name}.json"), "w") as f:
             json.dump({"camera_angle_x": fovx, "frames": frames}, f)
 
+    def write_rig_split(name, cam_ids, n_times):
+        """Multiview rig: fixed cameras, every camera sees every time."""
+        frames = []
+        os.makedirs(os.path.join(args.out_dir, name), exist_ok=True)
+        n_cams = args.n_cams
+        for ci in cam_ids:
+            theta = 2 * np.pi * ci / n_cams
+            phi = -0.55 + 0.3 * (ci % 3) / 2.0   # stagger elevations
+            c2w = lookat_c2w(theta, phi=phi)
+            R, T = blender_matrix_to_rt(c2w)
+            for ti in range(n_times):
+                t = ti / max(n_times - 1, 1)
+                camera = make_camera(R, T, fovx, fovx, time=t)
+                m, s, q, o, c = (jnp.asarray(x) for x in ball_scene(t))
+                img = np.asarray(render_frame(m, s, q, o, c, camera))
+                rgba = np.concatenate(
+                    [np.clip(img, 0, 1),
+                     np.ones((size, size, 1), np.float32)], -1)
+                fname = f"cam{ci:02d}_t{ti:04d}"
+                Image.fromarray((rgba * 255).astype(np.uint8), "RGBA").save(
+                    os.path.join(args.out_dir, f"{name}/{fname}.png"))
+                frames.append({"file_path": f"./{name}/{fname}", "time": t,
+                               "transform_matrix": c2w.tolist()})
+            print(f"{name}: cam {ci} done ({n_times} frames)", flush=True)
+        with open(os.path.join(args.out_dir,
+                               f"transforms_{name}.json"), "w") as f:
+            json.dump({"camera_angle_x": fovx, "frames": frames}, f)
+
     os.makedirs(args.out_dir, exist_ok=True)
-    write_split("train", args.n_train, 0.0)
-    write_split("test", args.n_test, 0.13)
+    if args.protocol == "multiview":
+        # camera 0 is the held-out test view (DyNeRF protocol,
+        # ref scene/neural_3D_dataset_NDC.py eval-cam holdout)
+        write_rig_split("train", list(range(1, args.n_cams)), args.n_times)
+        write_rig_split("test", [0], args.n_times)
+    else:
+        write_split("train", args.n_train, 0.0)
+        write_split("test", args.n_test, 0.13)
     print(f"synthetic dynamic scene written to {args.out_dir}")
 
 

@@ -18,6 +18,13 @@ import numpy as np
 
 
 def main():
+    # jax.distributed must be initialized before the backend comes up, so
+    # peek at the flag before building the full parser (which imports jax
+    # via the config module).
+    if "--distributed" in sys.argv[1:]:
+        from fourdgs_tpu.parallel.multihost import initialize_distributed
+        initialize_distributed()
+
     parser = argparse.ArgumentParser(description="4DGS-TPU training")
     parser.add_argument("-s", "--source_path", required=True)
     parser.add_argument("-m", "--model_path", default="")
@@ -34,6 +41,10 @@ def main():
     parser.add_argument("--seed", type=int, default=6666)
     parser.add_argument("--profile", action="store_true",
                         help="capture a jax.profiler trace of the fine stage")
+    parser.add_argument("--distributed", action="store_true",
+                        help="initialize jax.distributed for multi-host "
+                        "(DCN) training; hosts shard the camera batch by "
+                        "process index over the mesh's data axis")
     parser.add_argument("--mesh", default="",
                         help="multi-chip mesh 'data,tile' (e.g. '4,2'); "
                              "batch_size must be divisible by data")
@@ -153,6 +164,11 @@ def main():
     else:
         def make_on_iteration(stage):
             return None
+
+    if args.distributed:
+        import jax
+        print(f"distributed: process {jax.process_index()}/"
+              f"{jax.process_count()}, {jax.device_count()} devices")
 
     mesh = None
     if args.mesh:

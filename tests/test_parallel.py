@@ -78,6 +78,58 @@ def test_sharded_matches_single_device(setup, mesh_shape):
                                atol=1e-5)
 
 
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (1, 8)])
+def test_sharded_dssim_matches_single_device(setup, mesh_shape):
+    """With lambda_dssim != 0 the sharded objective (all_gathered tiles ->
+    full-image SSIM) must equal the single-device one, including grads."""
+    cfg, st, tx, cams, images = setup
+    n_data, n_tile = mesh_shape
+    mesh = make_mesh(n_data, n_tile)
+    rcfg = loop.raster_config_from(cfg, W, H)
+    dcfg = deform_config_from(cfg)
+    bg = jnp.zeros(3)
+
+    idxs = np.arange(4) % len(images)
+    bc = jax.tree.map(lambda a: a[idxs], cams)
+    gts = images[idxs]
+
+    ref_state, ref_aux = loop.train_step(
+        st, bc, gts, bg, stage="coarse", active_sh=0, raster_cfg=rcfg,
+        deform_cfg=dcfg, tx=tx, lambda_dssim=0.2,
+        reg_weights=(0.01, 1e-4, 1e-4), track_stats=True)
+
+    sh_state, loss, aux = sharded_train_step(
+        st, bc, gts, bg, mesh=mesh, stage="coarse", active_sh=0,
+        raster_cfg=rcfg, deform_cfg=dcfg, tx=tx,
+        reg_weights=(0.01, 1e-4, 1e-4), lambda_dssim=0.2)
+
+    assert float(loss) == pytest.approx(float(ref_aux.loss), rel=1e-4)
+    for name in ("xyz", "scaling", "opacity", "rotation"):
+        a = np.asarray(getattr(ref_state.params["gauss"], name))
+        b = np.asarray(getattr(sh_state.params["gauss"], name))
+        np.testing.assert_allclose(b, a, atol=5e-5, err_msg=name)
+
+
+def test_sharded_eval_render_matches_single_device(setup):
+    from fourdgs_tpu.parallel.sharded import sharded_eval_render
+    cfg, st, tx, cams, images = setup
+    mesh = make_mesh(2, 4)
+    rcfg = loop.raster_config_from(cfg, W, H)
+    dcfg = deform_config_from(cfg)
+    bg = jnp.zeros(3)
+    cam = jax.tree.map(lambda a: a[0], cams)
+
+    ref = loop.eval_step(st, cam, bg, stage="fine", active_sh=0,
+                         raster_cfg=rcfg, deform_cfg=dcfg)
+    color, depth, alpha = sharded_eval_render(
+        st, cam, bg, mesh=mesh, raster_cfg=rcfg, deform_cfg=dcfg,
+        stage="fine", active_sh=0)
+    np.testing.assert_allclose(np.asarray(color), np.asarray(ref.color),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(depth), np.asarray(ref.depth),
+                               atol=2e-4)
+
+
 def test_sharded_fine_stage_runs(setup):
     cfg, st, tx, cams, images = setup
     mesh = make_mesh(2, 4)
