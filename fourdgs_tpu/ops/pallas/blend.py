@@ -322,15 +322,22 @@ def make_blend(cfg):
         return _impl(gidx, px, py, pix, conic, color, opacity, depth)
 
     def blend_fwd(gidx, px, py, pix, conic, color, opacity, depth):
-        out = _impl(gidx, px, py, pix, conic, color, opacity, depth)
-        return out, (gidx, px, py, pix, conic, color, opacity, depth, out)
-
-    def blend_bwd(res, cotangents):
-        gidx, px, py, pix, conic, color, opacity, depth, out = res
-        c_final, d_final, t_final = out
-        g_c, g_d, g_t = cotangents
+        # Re-derives attrs/need exactly as _impl so XLA CSEs the pack
+        # gather between primal and residual (one gather total) while the
+        # backward reuses it from residuals instead of re-gathering
+        # (measured ~10 ms/step at 100k pts/800px).
         attrs = _pack_attrs(gidx, pix, conic, color, opacity, depth)
         need = _need_chunks(gidx)
+        color_t, depth_t, t_t = _fwd_call(need, attrs, px[:, None],
+                                          py[:, None])
+        out = (jnp.moveaxis(color_t, 1, 2), depth_t[:, 0], t_t[:, 0])
+        return out, (gidx, px, py, attrs, need, pix, out)
+
+    def blend_bwd(res, cotangents):
+        gidx, px, py, attrs, need, pix, out = res
+        n_gauss = pix.shape[0]
+        c_final, d_final, t_final = out
+        g_c, g_d, g_t = cotangents
         rc = (c_final * g_c).sum(-1)
         rd = d_final * g_d
         grads = _bwd_call(
@@ -338,7 +345,7 @@ def make_blend(cfg):
             g_d[:, None], g_t[:, None], rc[:, None], rd[:, None],
             t_final[:, None])
         # one row scatter-add into a packed table (mirror of _pack_attrs)
-        n = pix.shape[0]
+        n = n_gauss
         flat = gidx.reshape(-1)
         flat_idx = jnp.where(flat >= 0, flat, n)
         g2 = grads.reshape(-1, ATTR_W)

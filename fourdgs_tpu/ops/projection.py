@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from fourdgs_tpu.data.camera import Camera
@@ -22,6 +23,9 @@ from fourdgs_tpu.ops import transforms
 FRUSTUM_NEAR = 0.2     # view-space z cull threshold
 LOWPASS = 0.3          # pixel-space covariance dilation
 RADIUS_SIGMA = 3.0
+# Blending gate constants (single source; rasterize_ref re-exports them).
+ALPHA_MIN = 1.0 / 255.0
+ALPHA_MAX = 0.99
 
 
 class Projected(NamedTuple):
@@ -47,6 +51,7 @@ def project_gaussians(
     alive: jnp.ndarray | None = None,        # (N,) bool
     scale_modifier: float = 1.0,
     cov3d_precomp: jnp.ndarray | None = None,  # (N, 6) packed, optional
+    opacities: jnp.ndarray | None = None,    # (N,) activated, optional
 ) -> Projected:
     n = means3d.shape[0]
     W = camera.world_view
@@ -77,8 +82,8 @@ def project_gaussians(
 
     # --- 3D covariance (packed symmetric) ---
     if cov3d_precomp is None:
-        cov3d = transforms.strip_symmetric(
-            transforms.build_covariance_3d(scales, quats, scale_modifier))
+        cov3d = transforms.build_covariance_packed(scales, quats,
+                                                   scale_modifier)
     else:
         cov3d = cov3d_precomp
     c_xx, c_xy, c_xz, c_yy, c_yz, c_zz = (cov3d[:, i] for i in range(6))
@@ -132,18 +137,42 @@ def project_gaussians(
         visible = visible & alive
     radius = jnp.where(visible, radius_f, 0.0).astype(jnp.int32)
 
-    # --- tile rects (CUDA getRect semantics) ---
+    # --- tile rects ---
+    # Baseline follows CUDA getRect semantics: a square box of the 3-sigma
+    # circumradius. When `opacities` is given, the box is tightened
+    # per-axis with an EXACTNESS-PRESERVING bound: since the blend skips
+    # any contribution with alpha < ALPHA_MIN, and the marginal-precision
+    # inequality gives alpha(d) <= op * exp(-0.5 dx^2 / cov_xx), every
+    # pixel with |dx| >= sqrt(2 ln(op/ALPHA_MIN) cov_xx) (same for y) is a
+    # guaranteed skip — so culling its tile cannot change the image. This
+    # is both opacity-aware (freshly reset gaussians shrink ~5x in area)
+    # and anisotropic (thin splats stop paying for their circumradius);
+    # pair counts drop 2-4x at identical output, which shrinks every
+    # downstream cost (binning scan, blend chunks, backward scatter).
     grid_x = (img_width + tile_size - 1) // tile_size
     grid_y = (img_height + tile_size - 1) // tile_size
     rf = radius.astype(jnp.float32)
+    if opacities is not None:
+        # stop_gradient: rects are integer binning decisions, and q's
+        # log diverges as op -> 0 on culled slots.
+        op = jax.lax.stop_gradient(opacities)
+        op_ok = op > ALPHA_MIN
+        q = 2.0 * jnp.log(jnp.maximum(op, ALPHA_MIN) / ALPHA_MIN) + 1e-6
+        rx = jnp.minimum(jnp.sqrt(q * jnp.maximum(cov00, 0.0)), rf)
+        ry = jnp.minimum(jnp.sqrt(q * jnp.maximum(cov11, 0.0)), rf)
+        rx = jnp.where(op_ok, rx, 0.0)
+        ry = jnp.where(op_ok, ry, 0.0)
+        radius = jnp.where(op_ok, radius, 0)
+    else:
+        rx = ry = rf
     rect_min = jnp.stack([
-        jnp.clip(((pix[:, 0] - rf) / tile_size).astype(jnp.int32), 0, grid_x),
-        jnp.clip(((pix[:, 1] - rf) / tile_size).astype(jnp.int32), 0, grid_y)],
+        jnp.clip(((pix[:, 0] - rx) / tile_size).astype(jnp.int32), 0, grid_x),
+        jnp.clip(((pix[:, 1] - ry) / tile_size).astype(jnp.int32), 0, grid_y)],
         axis=-1)
     rect_max = jnp.stack([
-        jnp.clip(((pix[:, 0] + rf + tile_size - 1) / tile_size).astype(jnp.int32),
+        jnp.clip(((pix[:, 0] + rx + tile_size - 1) / tile_size).astype(jnp.int32),
                  0, grid_x),
-        jnp.clip(((pix[:, 1] + rf + tile_size - 1) / tile_size).astype(jnp.int32),
+        jnp.clip(((pix[:, 1] + ry + tile_size - 1) / tile_size).astype(jnp.int32),
                  0, grid_y)], axis=-1)
     spans = jnp.maximum(rect_max - rect_min, 0)
     tiles_touched = jnp.where(radius > 0, spans[:, 0] * spans[:, 1], 0)

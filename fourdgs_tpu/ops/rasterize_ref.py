@@ -32,10 +32,9 @@ import jax
 import jax.numpy as jnp
 
 from fourdgs_tpu.data.camera import Camera
-from fourdgs_tpu.ops.projection import Projected, project_gaussians
+from fourdgs_tpu.ops.projection import (ALPHA_MAX, ALPHA_MIN, Projected,
+                                        project_gaussians)
 
-ALPHA_MIN = 1.0 / 255.0
-ALPHA_MAX = 0.99
 T_MIN = 1e-4
 
 
@@ -78,7 +77,7 @@ def rasterize_reference(
     n = means3d.shape[0]
     proj = project_gaussians(means3d, scales, quats, camera, img_width,
                              img_height, tile_size, ndc_offset=ndc_offset,
-                             alive=alive)
+                             alive=alive, opacities=opacities)
 
     visible = proj.tiles_touched > 0
     # Depth sort with invisible pushed to the back.

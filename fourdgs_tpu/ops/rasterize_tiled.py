@@ -522,7 +522,8 @@ def rasterize(
     proj = project_gaussians(
         means3d, scales, quats, camera, cfg.img_width, cfg.img_height,
         cfg.tile_size, ndc_offset=ndc_offset, alive=alive,
-        scale_modifier=scale_modifier, cov3d_precomp=cov3d_precomp)
+        scale_modifier=scale_modifier, cov3d_precomp=cov3d_precomp,
+        opacities=opacities)
 
     binned = jax.tree.map(
         jax.lax.stop_gradient,

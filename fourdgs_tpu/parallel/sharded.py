@@ -98,7 +98,8 @@ def _render_tiles_local(params, cfg: RasterConfig, deform_cfg: DeformConfig,
 
     proj = project_gaussians(xyz, scales, quats, camera, cfg.img_width,
                              cfg.img_height, cfg.tile_size,
-                             ndc_offset=ndc_offset, alive=alive)
+                             ndc_offset=ndc_offset, alive=alive,
+                             opacities=opacities)
     if shard_gauss:
         def gather(x):
             return jax.lax.all_gather(x, "tile", axis=0, tiled=True)

@@ -15,14 +15,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from _timing import sync
+
 
 def timeit(name, fn, *args, iters=10):
     out = fn(*args)
-    jax.block_until_ready(out)
+    sync(out)                     # honest sync (see scripts/_timing.py)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    sync(out)
     print(f"{name:36s} {(time.perf_counter()-t0)/iters*1000:9.2f} ms",
           flush=True)
 
@@ -104,10 +106,10 @@ def main():
     opac = jax.nn.sigmoid(gauss.opacity[:, 0])
     colors = sh_ops.sh_to_rgb(3, shs, dirs)
 
-    proj_fn = jax.jit(lambda p, s, q: project_gaussians(
-        p, s, q, camera, size, size, 16, alive=st.alive))
-    proj = proj_fn(gauss.xyz, scales, quats)
-    timeit("projection fwd", proj_fn, gauss.xyz, scales, quats)
+    proj_fn = jax.jit(lambda p, s, q, o: project_gaussians(
+        p, s, q, camera, size, size, 16, alive=st.alive, opacities=o))
+    proj = proj_fn(gauss.xyz, scales, quats, opac)
+    timeit("projection fwd", proj_fn, gauss.xyz, scales, quats, opac)
 
     bin_fn = jax.jit(lambda pr: bin_gaussians(pr, raster_cfg))
     binned = bin_fn(proj)

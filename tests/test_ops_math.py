@@ -55,6 +55,14 @@ class TestCovariance:
         np.testing.assert_allclose(transforms.unstrip_symmetric(packed), cov,
                                    atol=1e-6)
 
+    def test_packed_matches_matrix_build(self, rng):
+        s = jnp.asarray(np.abs(rng.normal(size=(64, 3))).astype(np.float32))
+        q = jnp.asarray(rng.normal(size=(64, 4)).astype(np.float32))
+        packed = transforms.build_covariance_packed(s, q, 1.3)
+        ref = transforms.strip_symmetric(
+            transforms.build_covariance_3d(1.3 * s, q))
+        np.testing.assert_allclose(packed, ref, atol=1e-5)
+
     def test_scale_modifier(self):
         s = jnp.array([[1.0, 1.0, 1.0]])
         q = jnp.array([[1.0, 0, 0, 0]])
