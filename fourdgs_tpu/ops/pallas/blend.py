@@ -198,7 +198,9 @@ def make_blend(cfg):
     p = cfg.pixels_per_tile
     assert cfg.tile_cap % k == 0
     n_chunks = cfg.tile_cap // k
-    t_blk = 8   # tiles per grid step (amortizes per-step overhead)
+    # tiles per grid step (amortizes per-step overhead); scale down for
+    # bigger tiles so the pipelined VMEM blocks (~ t_blk * p) stay bounded
+    t_blk = max(1, (8 * 256) // p)
     interpret = jax.default_backend() != "tpu"
 
     def _pad_tiles(x):

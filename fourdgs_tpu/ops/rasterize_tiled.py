@@ -185,19 +185,22 @@ def bin_gaussians_count(proj: Projected, cfg: RasterConfig) -> BinnedTiles:
         rmin, rmax = chunk(c)
         m = ((tx_of_t >= rmin[:, 0:1]) & (tx_of_t < rmax[:, 0:1])
              & (ty_of_t >= rmin[:, 1:2]) & (ty_of_t < rmax[:, 1:2]))
+        # the running per-tile counter is folded into the small per-block
+        # offset table so rank needs ONE big-table gather, not two
         if matmul_cumsum:
             mb = m.reshape(n_blk, blk, nt).astype(jnp.bfloat16)
             incl = jnp.einsum("ij,bjt->bit", tril, mb,
                               preferred_element_type=jnp.float32)
             bsum = incl[:, blk - 1, :]                   # (n_blk, nt)
             boff = jnp.cumsum(bsum, axis=0) - bsum       # exclusive
-            colcum = (incl + boff[:, None, :]).reshape(g * nt)
             hist = (boff[-1] + bsum[-1]).astype(jnp.int32)
+            cc = (incl + (boff + counter[None, :].astype(jnp.float32))
+                  [:, None, :]).reshape(g * nt)
         else:  # small/odd bin_chunk: plain elementwise cumsum
-            colcum = jnp.cumsum(m.astype(jnp.int16), axis=0).reshape(-1)
-            hist = colcum.reshape(g, nt)[-1].astype(jnp.int32)
-        rank = (counter[t_ids]
-                + colcum[owner_local * nt + t_ids].astype(jnp.int32) - 1)
+            colcum = jnp.cumsum(m.astype(jnp.int32), axis=0)
+            hist = colcum[-1]
+            cc = (colcum + counter[None, :]).reshape(-1)
+        rank = cc[owner_local * nt + t_ids].astype(jnp.int32) - 1
         ok = valid_c & (rank < cfg.tile_cap)
         dest = jnp.where(ok, t_ids * cfg.tile_cap + rank,
                          nt * cfg.tile_cap)

@@ -128,11 +128,17 @@ class RasterParams:
     """TPU rasterizer/runtime knobs (no reference equivalent: the CUDA
     rasterizer allocates dynamically; XLA needs static budgets)."""
     capacity: int = 400_000      # Gaussian buffer slots
-    tile_size: int = 16
-    tile_cap: int = 1024
+    # 32x32 tiles measure ~1.7x faster end-to-end than 16x16 on v5e at the
+    # D-NeRF operating point: ~2.4x fewer (gaussian, tile) pairs shrinks
+    # every row-count-bound gather/scatter stage (binner, attr pack, grad
+    # scatter) while the wider blend blocks pipeline better.
+    tile_size: int = 32
+    tile_cap: int = 2048
     pair_cap: int = 1 << 21
     chunk: int = 32
     backend: str = "auto"        # "auto" | "xla" | "pallas"
+    bin_chunk: int = 4096        # gaussians per counting-binner scan step
+    bin_pairs_per_chunk: int = 16384  # pair slots per scan step
 
 
 @dataclass

@@ -135,7 +135,8 @@ def densify(state: TrainState, key: jax.Array, grad_threshold: float,
             True, mode="drop")
     n_split = ok_s.sum()
 
-    opt_state = optim.reset_moments_for_slots(state.opt_state, written)
+    opt_state = optim.reset_moments_for_slots(state.opt_state, written,
+                                             state.params)
     stats = DensifyStats(
         n_cloned=n_cloned, n_split=n_split,
         n_dropped=(clone_mask.sum() - n_cloned) + (split_mask.sum() - n_split))
@@ -191,7 +192,8 @@ def grow(state: TrainState, key: jax.Array, displacement_scale: float = 1.0,
     alive = state.alive.at[jnp.where(ok, dest, cap)].set(True, mode="drop")
     written = jnp.zeros((cap,), bool).at[
         jnp.where(ok, dest, cap)].set(True, mode="drop")
-    opt_state = optim.reset_moments_for_slots(state.opt_state, written)
+    opt_state = optim.reset_moments_for_slots(state.opt_state, written,
+                                             state.params)
     return state._replace(params={**state.params, "gauss": new_gauss},
                           opt_state=opt_state, alive=alive), ok.sum()
 
@@ -203,6 +205,7 @@ def reset_opacity(state: TrainState) -> TrainState:
     new_gauss = gauss._replace(
         opacity=jnp.where(state.alive[:, None], new_op, gauss.opacity))
     opt_state = optim.reset_moments_for_slots(
-        state.opt_state, jnp.ones((state.capacity,), bool), group="opacity")
+        state.opt_state, jnp.ones((state.capacity,), bool), state.params,
+        group="opacity")
     return state._replace(params={**state.params, "gauss": new_gauss},
                           opt_state=opt_state)

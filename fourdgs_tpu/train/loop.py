@@ -55,7 +55,8 @@ def raster_config_from(cfg: Config, width: int, height: int) -> RasterConfig:
     return RasterConfig(img_width=width, img_height=height,
                         tile_size=r.tile_size, tile_cap=r.tile_cap,
                         pair_cap=r.pair_cap, chunk=r.chunk,
-                        backend=r.backend)
+                        backend=r.backend, bin_chunk=r.bin_chunk,
+                        bin_pairs_per_chunk=r.bin_pairs_per_chunk)
 
 
 @functools.partial(
@@ -184,17 +185,19 @@ def compact_and_resize(state: TrainState, new_cap: int) -> TrainState:
             out = out._replace(rotation=jnp.asarray(rot))
         return out
 
-    adam_state, lr_state = state.opt_state
-    adam_state = adam_state._replace(
-        mu={**adam_state.mu,
-            "gauss": fix_gauss(adam_state.mu["gauss"], fix_rotation=False)},
-        nu={**adam_state.nu,
-            "gauss": fix_gauss(adam_state.nu["gauss"], fix_rotation=False)},
+    opt_state = state.opt_state._replace(
+        mu={**state.opt_state.mu,
+            "gauss": fix_gauss(state.opt_state.mu["gauss"],
+                               fix_rotation=False)},
+        nu={**state.opt_state.nu,
+            "gauss": fix_gauss(state.opt_state.nu["gauss"],
+                               fix_rotation=False)},
     )
     return state._replace(
         params={**state.params,
-                "gauss": fix_gauss(state.params["gauss"], fix_rotation=True)},
-        opt_state=(adam_state, lr_state),
+                "gauss": fix_gauss(state.params["gauss"],
+                                   fix_rotation=True)},
+        opt_state=opt_state,
         alive=fix(alive),
         xyz_gradient_accum=fix(state.xyz_gradient_accum),
         denom=fix(state.denom),

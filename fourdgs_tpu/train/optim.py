@@ -1,4 +1,4 @@
-"""Optimizer: Adam(eps=1e-15) with per-group learning rates + schedules.
+"""Optimizer: fused Adam(eps=1e-15) with per-group learning-rate schedules.
 
 Replicates the reference's eight optimizer groups and their LR treatment
 (ref scene/gaussian_model.py:165-212): xyz/deformation/grid follow the
@@ -7,10 +7,19 @@ rotation are constant. The schedule is evaluated INSIDE the update (jnp), so
 the whole optimizer step lives in one jitted function — no per-iteration
 host work like the reference's update_learning_rate.
 
+TPU note (negative results recorded): the parameter tree has ~30 leaves and
+per-leaf kernels carry launch overhead, so two chained optax transforms
+(scale_by_adam + group-lr) cost ~12 ms/step at the bench operating point.
+Flattening all leaves into one moment vector looked 3x faster in isolation
+but loses it back in 1D<->2D tiled-layout conversions (ravel/reshape of
+(N, 45)-style leaves are relayouts, ~12 ms) and serializes against the
+gradient producers. The win is simply ONE transform with Adam math + group
+LR fused per leaf (half the kernels, no relayouts, overlappable).
+
 Densification needs optimizer surgery (moment resets for new/replaced
-slots); `reset_moments_for_slots` edits the scale_by_adam state in place
-(functional), mirroring ref cat_tensors_to_optimizer /
-replace_tensor_to_optimizer semantics (scene/gaussian_model.py:316-388).
+slots); `reset_moments_for_slots` edits the moment trees functionally,
+mirroring ref cat_tensors_to_optimizer / replace_tensor_to_optimizer
+semantics (scene/gaussian_model.py:316-388).
 """
 from __future__ import annotations
 
@@ -65,64 +74,84 @@ def build_schedules(opt: OptimizationParams, spatial_lr_scale: float
     }
 
 
-class GroupLrState(NamedTuple):
+class AdamGroupState(NamedTuple):
     count: jnp.ndarray
+    mu: Any              # param-shaped tree, first moment
+    nu: Any              # param-shaped tree, second moment
 
 
-def scale_by_group_lr(schedules: dict[str, Callable], labels) -> optax.GradientTransformation:
-    def init_fn(params):
-        del params
-        return GroupLrState(count=jnp.zeros([], jnp.int32))
+def build_optimizer(opt: OptimizationParams, spatial_lr_scale: float,
+                    params: dict, b1: float = 0.9, b2: float = 0.999,
+                    eps: float = 1e-15) -> optax.GradientTransformation:
+    schedules = build_schedules(opt, spatial_lr_scale)
+    del params  # structure is derived per call (buffer resizes change it)
 
-    def update_fn(updates, state, params=None):
-        del params
-        # The reference sets lr(iteration) with iteration starting at 1
-        # before each step (ref train.py:138).
-        step = state.count + 1
-        lrs = {k: fn(step) for k, fn in schedules.items()}
-        new_updates = jax.tree.map(lambda g, lab: -lrs[lab] * g, updates,
-                                   labels)
-        return new_updates, GroupLrState(count=state.count + 1)
+    def init_fn(params_):
+        zeros = lambda t: jax.tree.map(jnp.zeros_like, t)
+        return AdamGroupState(count=jnp.zeros([], jnp.int32),
+                              mu=zeros(params_), nu=zeros(params_))
+
+    def update_fn(updates, state, params_=None):
+        del params_
+        labels = param_labels(updates)
+        count = state.count + 1
+        c = count.astype(jnp.float32)
+        bc1 = 1.0 - b1 ** c
+        bc2 = 1.0 - b2 ** c
+        # the reference sets lr(iteration) with iteration starting at 1
+        # before each step (ref train.py:138)
+        lrs = {k: fn(count) for k, fn in schedules.items()}
+
+        g_leaves, tdef = jax.tree.flatten(updates)
+        mu_leaves = jax.tree.leaves(state.mu)
+        nu_leaves = jax.tree.leaves(state.nu)
+        lab_leaves = jax.tree.leaves(labels)
+        assert len(lab_leaves) == len(g_leaves)
+        upd_out, mu_out, nu_out = [], [], []
+        for g, mu, nu, lab in zip(g_leaves, mu_leaves, nu_leaves,
+                                  lab_leaves):
+            mu = b1 * mu + (1 - b1) * g
+            nu = b2 * nu + (1 - b2) * (g * g)
+            upd_out.append(-lrs[lab] * (mu / bc1)
+                           / (jnp.sqrt(nu / bc2) + eps))
+            mu_out.append(mu)
+            nu_out.append(nu)
+        unflat = lambda ls: jax.tree.unflatten(tdef, ls)
+        return unflat(upd_out), AdamGroupState(
+            count=count, mu=unflat(mu_out), nu=unflat(nu_out))
 
     return optax.GradientTransformation(init_fn, update_fn)
 
 
-def build_optimizer(opt: OptimizationParams, spatial_lr_scale: float,
-                    params: dict) -> optax.GradientTransformation:
-    schedules = build_schedules(opt, spatial_lr_scale)
-    labels = param_labels(params)
-    return optax.chain(
-        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-15),
-        scale_by_group_lr(schedules, labels),
-    )
-
-
-def reset_moments_for_slots(opt_state, slot_mask: jnp.ndarray,
-                            group: str | None = None):
+def reset_moments_for_slots(opt_state: AdamGroupState,
+                            slot_mask: jnp.ndarray, params: dict = None,
+                            group: str | None = None) -> AdamGroupState:
     """Zero Adam moments of gaussian-buffer leaves at masked slots.
 
     group=None resets all six per-point tensors (densify); group="opacity"
     resets only the opacity moments (opacity reset,
     ref replace_tensor_to_optimizer scene/gaussian_model.py:316-329).
-    """
-    adam_state, lr_state = opt_state
+    `params` is accepted for API symmetry and unused."""
+    del params
+    keep = ~slot_mask
 
     def reset(tree):
-        def leaf(name):
-            def fn(x):
-                m = slot_mask.reshape((-1,) + (1,) * (x.ndim - 1))
-                return jnp.where(m, 0.0, x)
-            return fn
         gauss = tree["gauss"]
         new = {}
         for name in GaussianParams._fields:
             lbl = getattr(GAUSS_LABELS, name)
             x = getattr(gauss, name)
             if group is None or lbl == group:
-                x = leaf(name)(x)
+                x = x * keep.reshape((-1,) + (1,) * (x.ndim - 1))
             new[name] = x
         return {**tree, "gauss": GaussianParams(**new)}
 
-    adam_state = adam_state._replace(mu=reset(adam_state.mu),
-                                     nu=reset(adam_state.nu))
-    return (adam_state, lr_state)
+    return opt_state._replace(mu=reset(opt_state.mu),
+                              nu=reset(opt_state.nu))
+
+
+def moments_view(opt_state: AdamGroupState, params: dict = None
+                 ) -> tuple[Any, Any]:
+    """(mu_tree, nu_tree) in the parameter structure (debug/tests)."""
+    del params
+    return opt_state.mu, opt_state.nu

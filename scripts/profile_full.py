@@ -44,13 +44,18 @@ def main():
 
     n_points = int(os.environ.get("PROF_POINTS", 100_000))
     size = int(os.environ.get("PROF_SIZE", 800))
+    ts = int(os.environ.get("PROF_TILE", 16))
+    tc = int(os.environ.get("PROF_TILE_CAP", 768))
     cfg = Config()
     cfg.hidden.multires = [1, 2]
     cfg.hidden.defor_depth = 0
     cfg.hidden.net_width = 64
     cap = 1 << (n_points - 1).bit_length()
-    cfg.raster = RasterParams(capacity=cap, tile_size=16, tile_cap=768,
-                              pair_cap=1 << 21, chunk=32, backend="auto")
+    cfg.raster = RasterParams(
+        capacity=cap, tile_size=ts, tile_cap=tc, pair_cap=1 << 21, chunk=32,
+        backend="auto",
+        bin_chunk=int(os.environ.get("PROF_BIN_CHUNK", 4096)),
+        bin_pairs_per_chunk=int(os.environ.get("PROF_BIN_PC", 32768)))
     pts, cols = _synthetic_scene(n_points)
     st = state_mod.create_state(jax.random.key(0), cfg, pts, cols,
                                 spatial_lr_scale=1.0)
@@ -107,7 +112,7 @@ def main():
     colors = sh_ops.sh_to_rgb(3, shs, dirs)
 
     proj_fn = jax.jit(lambda p, s, q, o: project_gaussians(
-        p, s, q, camera, size, size, 16, alive=st.alive, opacities=o))
+        p, s, q, camera, size, size, ts, alive=st.alive, opacities=o))
     proj = proj_fn(gauss.xyz, scales, quats, opac)
     timeit("projection fwd", proj_fn, gauss.xyz, scales, quats, opac)
 

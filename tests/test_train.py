@@ -74,15 +74,17 @@ class TestOptimizer:
         grads = jax.tree.map(jnp.ones_like, st.params)
         _, opt_state = tx.update(grads, st.opt_state, st.params)
         mask = jnp.zeros((st.capacity,), bool).at[3].set(True)
-        opt_state2 = optim.reset_moments_for_slots(opt_state, mask)
-        mu = opt_state2[0].mu["gauss"].xyz
-        assert float(jnp.abs(mu[3]).sum()) == 0
-        assert float(jnp.abs(mu[4]).sum()) > 0
+        opt_state2 = optim.reset_moments_for_slots(opt_state, mask, st.params)
+        mu, _ = optim.moments_view(opt_state2, st.params)
+        assert float(jnp.abs(mu["gauss"].xyz[3]).sum()) == 0
+        assert float(jnp.abs(mu["gauss"].xyz[4]).sum()) > 0
         # group-specific reset touches only opacity
         opt_state3 = optim.reset_moments_for_slots(
-            opt_state, jnp.ones((st.capacity,), bool), group="opacity")
-        assert float(jnp.abs(opt_state3[0].mu["gauss"].opacity).sum()) == 0
-        assert float(jnp.abs(opt_state3[0].mu["gauss"].xyz).sum()) > 0
+            opt_state, jnp.ones((st.capacity,), bool), st.params,
+            group="opacity")
+        mu3, _ = optim.moments_view(opt_state3, st.params)
+        assert float(jnp.abs(mu3["gauss"].opacity).sum()) == 0
+        assert float(jnp.abs(mu3["gauss"].xyz).sum()) > 0
 
 
 class TestDensify:
@@ -224,8 +226,9 @@ class TestCompactionMomentSafety:
         st = st._replace(opt_state=tx.init(st.params))
         # moments exactly zero (fresh) -> resize up
         st2 = loop.compact_and_resize(st, 32)
-        mu = np.asarray(st2.opt_state[0].mu["gauss"].rotation)
-        nu = np.asarray(st2.opt_state[0].nu["gauss"].rotation)
+        mu_t, nu_t = optim.moments_view(st2.opt_state, st2.params)
+        mu = np.asarray(mu_t["gauss"].rotation)
+        nu = np.asarray(nu_t["gauss"].rotation)
         assert np.abs(mu).max() == 0.0
         assert np.abs(nu).max() == 0.0
         # params DO get the w=1 fix for padded dead slots
