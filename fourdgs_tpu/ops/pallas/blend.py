@@ -320,10 +320,12 @@ def make_blend(cfg):
         return (jnp.moveaxis(color_t, 1, 2), depth_t[:, 0], t_t[:, 0])
 
     @jax.custom_vjp
-    def blend(gidx, px, py, pix, conic, color, opacity, depth):
+    def blend(gidx, px, py, pix, conic, color, opacity, depth, slots=None):
+        del slots
         return _impl(gidx, px, py, pix, conic, color, opacity, depth)
 
-    def blend_fwd(gidx, px, py, pix, conic, color, opacity, depth):
+    def blend_fwd(gidx, px, py, pix, conic, color, opacity, depth,
+                  slots=None):
         # Re-derives attrs/need exactly as _impl so XLA CSEs the pack
         # gather between primal and residual (one gather total) while the
         # backward reuses it from residuals instead of re-gathering
@@ -333,11 +335,11 @@ def make_blend(cfg):
         color_t, depth_t, t_t = _fwd_call(need, attrs, px[:, None],
                                           py[:, None])
         out = (jnp.moveaxis(color_t, 1, 2), depth_t[:, 0], t_t[:, 0])
-        return out, (gidx, px, py, attrs, need, pix, out)
+        return out, (gidx, px, py, attrs, need, pix, out, slots)
 
     def blend_bwd(res, cotangents):
-        gidx, px, py, attrs, need, pix, out = res
-        n_gauss = pix.shape[0]
+        gidx, px, py, attrs, need, pix, out, slots = res
+        n = pix.shape[0]
         c_final, d_final, t_final = out
         g_c, g_d, g_t = cotangents
         rc = (c_final * g_c).sum(-1)
@@ -346,15 +348,22 @@ def make_blend(cfg):
             need, attrs, px[:, None], py[:, None], jnp.moveaxis(g_c, 2, 1),
             g_d[:, None], g_t[:, None], rc[:, None], rd[:, None],
             t_final[:, None])
-        # one row scatter-add into a packed table (mirror of _pack_attrs)
-        n = n_gauss
-        flat = gidx.reshape(-1)
-        flat_idx = jnp.where(flat >= 0, flat, n)
         g2 = grads.reshape(-1, ATTR_W)
-        acc = jnp.zeros((n + 1, ATTR_W), jnp.float32).at[flat_idx].add(
-            g2, mode="drop")
-        return (None, None, None, acc[:n, 0:2], acc[:n, 2:5], acc[:n, 5:8],
-                acc[:n, 8], acc[:n, 9])
+        if slots is not None:
+            # reassociated reduction over the binner's contiguous slot
+            # runs (gather + cumsum) — see rasterize_tiled.BlendSlots
+            from fourdgs_tpu.ops.rasterize_tiled import \
+                reassociate_pair_grads
+            acc = reassociate_pair_grads(g2, slots, n)
+        else:
+            # fallback (tile-sharded callers have no global slot space):
+            # one packed row scatter-add (mirror of _pack_attrs)
+            flat = gidx.reshape(-1)
+            flat_idx = jnp.where(flat >= 0, flat, n)
+            acc = jnp.zeros((n + 1, ATTR_W), jnp.float32).at[flat_idx].add(
+                g2, mode="drop")[:n]
+        return (None, None, None, acc[:, 0:2], acc[:, 2:5], acc[:, 5:8],
+                acc[:, 8], acc[:, 9], None)
 
     blend.defvjp(blend_fwd, blend_bwd)
     return blend
