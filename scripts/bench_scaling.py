@@ -4,6 +4,13 @@ shapes (the BASELINE.json north star asks >=80% scaling efficiency 1->N).
 
 On a single-chip host this still runs (1,1) for the baseline row; on a pod
 slice it sweeps the device count. Prints one JSON line per mesh shape.
+
+BENCH_CPU_DEVICES=8 forces a virtual 8-device CPU mesh (the multi-chip
+dryrun substrate) with a small operating point, so the data/tile-axis
+sweep and its scaling efficiencies are at least exercised end-to-end on a
+single-chip host. CPU efficiency numbers are indicative only — virtual
+devices share the host's cores, so they measure communication/partition
+overhead, not compute scaling.
 """
 from __future__ import annotations
 
@@ -14,12 +21,27 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+_cpu_dev = int(os.environ.get("BENCH_CPU_DEVICES", 0))
+if _cpu_dev:
+    # FOURDGS_PLATFORM survives the axon sitecustomize (which clobbers
+    # plain JAX_PLATFORMS while pre-registering the TPU plugin)
+    os.environ["FOURDGS_PLATFORM"] = "cpu"
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + f" --xla_force_host_platform_device_count={_cpu_dev}")
+    os.environ.setdefault("BENCH_POINTS", "4096")
+    os.environ.setdefault("BENCH_SIZE", "128")
+    os.environ.setdefault("BENCH_STEPS", "5")
+
 import numpy as np
 
 
 def main():
     import jax
     import jax.numpy as jnp
+
+    if _cpu_dev:
+        from fourdgs_tpu.utils import jax_setup
+        jax_setup.respect_platform_env()
 
     from __graft_entry__ import _look_at_camera, _synthetic_scene
     from fourdgs_tpu.parallel.mesh import make_mesh

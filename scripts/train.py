@@ -190,30 +190,64 @@ def main():
             return fine_sample_order(len(scene.train), n_poses, r)
 
     def make_on_test(stage):
-        def on_test(it, state, active_sh):
-            n = min(len(scene.test), 5)
+        def eval_split(split, name, it, state, active_sh, n=None,
+                       save_triptych=False):
+            n = len(split) if n is None else min(len(split), n)
             psnrs = []
             for i in range(n):
-                cam = jax.tree.map(lambda a: a[i], scene.test.cameras)
+                cam = jax.tree.map(lambda a: a[i], split.cameras)
                 out = loop.eval_step(state, cam, bg, stage=stage,
                                      active_sh=active_sh,
                                      raster_cfg=raster_cfg,
                                      deform_cfg=deform_cfg)
                 img = jnp.clip(out.color, 0, 1)
-                psnrs.append(float(losses.psnr(img, scene.test.images[i])[0]))
-                if cfg.model.render_process and i == 0:
+                psnrs.append(float(losses.psnr(img, split.images[i])[0]))
+                if save_triptych and i == 0:
                     # gt/render/depth triptych debug images
                     # (ref utils/scene_utils.py:11-57 at train.py:247-254)
                     from fourdgs_tpu.utils.visualize import \
                         render_training_image
                     render_training_image(
                         os.path.join(cfg.model.model_path, "train_render",
-                                     f"{stage}test"),
-                        f"{stage}test", it, 0.0,
-                        np.asarray(scene.test.images[i]), np.asarray(img),
-                        np.asarray(out.depth),
-                        float(scene.test.times[i]))
-            print(f"\n[ITER {it}] Evaluating test: PSNR {np.mean(psnrs):.2f}")
+                                     f"{stage}{name}"),
+                        f"{stage}{name}", it, 0.0,
+                        np.asarray(split.images[i]), np.asarray(img),
+                        np.asarray(out.depth), float(split.times[i]))
+            return psnrs
+
+        def on_test(it, state, active_sh):
+            # full test split + a small train sample, per ref
+            # train.py:343-376 (test = all cameras, train = 5-view probe)
+            test_psnrs = eval_split(scene.test, "test", it, state,
+                                    active_sh,
+                                    save_triptych=cfg.model.render_process)
+            train_psnrs = eval_split(scene.train, "train", it, state,
+                                     active_sh, n=5)
+            print(f"\n[ITER {it}] Evaluating test: PSNR "
+                  f"{np.mean(test_psnrs):.2f} over {len(test_psnrs)} views "
+                  f"(train probe {np.mean(train_psnrs):.2f})")
+            metrics_log.write(json.dumps(
+                {"stage": stage, "iter": it, "eval": "test",
+                 "psnr": float(np.mean(test_psnrs)),
+                 "psnr_per_view": [round(p, 4) for p in test_psnrs],
+                 "train_probe_psnr": float(np.mean(train_psnrs))}) + "\n")
+            metrics_log.flush()
+            if tb is not None:
+                tb.add_scalar(f"{stage}/test/loss_viewpoint - psnr",
+                              float(np.mean(test_psnrs)), it)
+                tb.add_scalar(f"{stage}/train/loss_viewpoint - psnr",
+                              float(np.mean(train_psnrs)), it)
+                # histograms of opacity + accumulated motion, per ref
+                # train.py:378-383 (scene_opacity_histogram / deformation)
+                gauss = state.params["gauss"]
+                alive = np.asarray(state.alive)
+                op = 1.0 / (1.0 + np.exp(-np.asarray(gauss.opacity[:, 0])))
+                tb.add_histogram(f"{stage}/scene/opacity_histogram",
+                                 op[alive], it)
+                denom = np.maximum(np.asarray(state.denom), 1.0)
+                motion = np.asarray(state.xyz_gradient_accum) / denom
+                tb.add_histogram(f"{stage}/scene/motion_histogram",
+                                 motion[alive], it)
         return on_test
 
     def make_on_save(stage):

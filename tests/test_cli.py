@@ -75,10 +75,23 @@ class TestTrainCLI:
     def test_log_has_finite_losses(self, trained_model):
         data, model, r = trained_model
         recs = [json.loads(l) for l in open(model / "train_log.jsonl")]
-        assert len(recs) >= 2
-        assert all(np.isfinite(rec["loss"]) for rec in recs)
-        stages = {rec["stage"] for rec in recs}
+        steps = [rec for rec in recs if "loss" in rec]
+        assert len(steps) >= 2
+        assert all(np.isfinite(rec["loss"]) for rec in steps)
+        stages = {rec["stage"] for rec in steps}
         assert stages == {"coarse", "fine"}
+
+    def test_log_has_full_split_eval(self, trained_model):
+        # ref train.py:343-376: test eval covers the FULL test split and
+        # a small train probe; per-view PSNRs recorded
+        data, model, r = trained_model
+        recs = [json.loads(l) for l in open(model / "train_log.jsonl")]
+        evals = [rec for rec in recs if rec.get("eval") == "test"]
+        assert evals, "no eval records in train_log.jsonl"
+        for rec in evals:
+            assert np.isfinite(rec["psnr"])
+            assert np.isfinite(rec["train_probe_psnr"])
+            assert len(rec["psnr_per_view"]) == 2  # full test split size
 
 
 class TestRenderAndMetricsCLI:
