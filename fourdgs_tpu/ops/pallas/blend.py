@@ -116,10 +116,24 @@ def _bwd_kernel(need_ref, attrs_ref, px_ref, py_ref, gc_ref, gd_ref, gt_ref,
         acc_dg[:] = jnp.zeros_like(acc_dg)
         acc_t[:] = jnp.ones_like(acc_t)
 
-    # chunks past the tile-block's occupancy: no DMA (clamped index map),
+    # Chunks past the tile-block's occupancy: no DMA (clamped index map),
     # no compute, and no write-back (the consumer masks untouched rows by
-    # gidx == -1, so their content is never read)
-    @pl.when(j < need_ref[pl.program_id(0)])
+    # gidx == -1, so their content is never read).
+    # Saturation skip (mirrors the forward): once every pixel of the block
+    # has t <= T_MIN, all later chunks have use == false, so their grads
+    # are exactly zero and the recurrence state (after_cg/after_dg via
+    # w == 0, t via au == 0) is unchanged — write zeros, skip the VPU math.
+    # Trained scenes saturate after a few chunks, so this removes most of
+    # the backward's per-chunk work (the backward otherwise does full math
+    # on every occupied chunk, unlike the forward).
+    occupied = j < need_ref[pl.program_id(0)]
+    live = occupied & (jnp.max(acc_t[:]) > T_MIN)
+
+    @pl.when(occupied & ~live)
+    def _():
+        grads_ref[:] = jnp.zeros_like(grads_ref)
+
+    @pl.when(live)
     def _():
         t_in = acc_t[:]
         attrs = attrs_ref[:]

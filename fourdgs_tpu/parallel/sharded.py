@@ -155,7 +155,15 @@ def make_sharded_loss(mesh: Mesh, cfg: RasterConfig,
                                        active_sh, stage, cam, bg, ndc_offset,
                                        n_tile)
 
-        color_t, t_t, depth_t, radii, drop_p, drop_t = jax.vmap(one)(cameras)
+        # batch-1 bypass, same rationale as loop.train_step: vmap over a
+        # single-camera axis pessimizes the binner's scatters on TPU.
+        b_loc = jax.tree.leaves(cameras)[0].shape[0]
+        if b_loc == 1:
+            color_t, t_t, depth_t, radii, drop_p, drop_t = jax.tree.map(
+                lambda x: x[None], one(jax.tree.map(lambda x: x[0], cameras)))
+        else:
+            color_t, t_t, depth_t, radii, drop_p, drop_t = \
+                jax.vmap(one)(cameras)
         abs_err = jnp.abs(color_t - gts_tiled)
         l1_partial = abs_err.sum()
         sq_partial = ((color_t - gts_tiled) ** 2).sum(axis=(1, 2, 3))

@@ -77,7 +77,18 @@ def train_step(state: TrainState, cameras: Camera, gts: jnp.ndarray,
                           raster_cfg, deform_cfg, state.aabb, state.alive,
                           active_sh, stage=stage, ndc_offset=ndc_offset)
 
-        outs = jax.vmap(render_one)(cameras)
+        # Batch size is static under jit. vmap over a batch-1 camera axis
+        # measurably pessimizes the binner's scatters (+6.5 ms fwd at
+        # 100k/800px on v5e: batched scatter lowers worse than flat), and
+        # batch=1 is the reference's training regime (ref train.py:170-178
+        # pops one viewpoint per iteration) — so bypass vmap there.
+        batch = jax.tree.leaves(cameras)[0].shape[0]
+        if batch == 1:
+            outs = jax.tree.map(
+                lambda x: x[None],
+                render_one(jax.tree.map(lambda x: x[0], cameras)))
+        else:
+            outs = jax.vmap(render_one)(cameras)
         imgs = outs.color
         l1 = losses.l1_loss(imgs, gts)
         loss = l1
@@ -282,6 +293,11 @@ def run_stage(
     # first check window can still roll back (instead of aborting)
     last_good, last_good_it = state, start_iteration
     rollbacks = 0
+    # Host-cached alive count: `int(state.alive.sum())` is a blocking
+    # device->host sync; doing it every iteration serializes the dispatch
+    # pipeline (~4.5 it/s observed at 400px where the device step is
+    # ~20 ms). The count only changes at surgery, so refresh it there.
+    n_alive = int(state.alive.sum())
 
     for it in range(start_iteration + 1, iterations + 1):
         if on_iteration is not None:
@@ -349,6 +365,7 @@ def run_stage(
                 print(f"[{stage} {it}] loss non-finite; rolling back "
                       f"{it - last_good_it} iterations")
                 state = last_good
+                n_alive = int(state.alive.sum())
                 # resample the batch order so the retry takes a different
                 # trajectory instead of replaying the diverging batches
                 perm = next_epoch()
@@ -372,7 +389,6 @@ def run_stage(
                                           - opt.densify_grad_threshold_after))
 
             did_surgery = False
-            n_alive = int(state.alive.sum())
             if (it > opt.densify_from_iter
                     and it % opt.densification_interval == 0
                     and n_alive < opt.densify_max_points):
@@ -385,25 +401,27 @@ def run_stage(
                     state, sub, float(dense_thresh), opt.percent_dense,
                     extent, opt.densify_max_points)
                 did_surgery = True
+                n_alive = int(state.alive.sum())
             if (it > opt.pruning_from_iter
                     and it % opt.pruning_interval == 0
-                    and int(state.alive.sum()) > opt.prune_min_points):
+                    and n_alive > opt.prune_min_points):
                 size_thresh = 20 if it > opt.opacity_reset_interval else None
                 state = densify_mod.prune(state, float(op_thresh), extent,
                                           size_thresh, opt.prune_min_points)
                 did_surgery = True
+                n_alive = int(state.alive.sum())
             if (opt.add_point and it % opt.densification_interval == 0
-                    and int(state.alive.sum()) < opt.densify_max_points):
+                    and n_alive < opt.densify_max_points):
                 key, sub = jax.random.split(key)
                 state, _ = densify_mod.grow(
                     state, sub, max_points=opt.densify_max_points)
                 did_surgery = True
+                n_alive = int(state.alive.sum())
             if it % opt.opacity_reset_interval == 0:
                 state = densify_mod.reset_opacity(state)
             if did_surgery:
                 # re-bucket downward is rare; keep compact for slicing
-                bucket = pick_bucket(int(state.alive.sum()),
-                                     cfg.raster.capacity)
+                bucket = pick_bucket(n_alive, cfg.raster.capacity)
                 if bucket != state.capacity:
                     state = compact_and_resize(state, bucket)
 
@@ -427,7 +445,7 @@ def run_stage(
             dropped_tile = int(jnp.asarray(aux.dropped_tile))
             rec = dict(stage=stage, iter=it, loss=float(aux.loss),
                        l1=float(aux.l1), psnr=float(aux.psnr),
-                       points=int(state.alive.sum()),
+                       points=n_alive,
                        capacity=state.capacity,
                        elapsed=tp - t0 - paused,
                        # binner overflow telemetry (ref has none — CUDA
