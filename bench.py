@@ -50,11 +50,15 @@ def main():
     cfg.hidden.net_width = 64
     cap = 1 << (n_points - 1).bit_length()
     tile = int(os.environ.get("BENCH_TILE", 32))
+    bin_chunk = int(os.environ.get("BENCH_BIN_CHUNK", 4096))
+    bin_pc = int(os.environ.get(
+        "BENCH_BIN_PC",
+        (16384 if tile == 32 else 32768) * (bin_chunk // 4096)))
     cfg.raster = RasterParams(capacity=cap, tile_size=tile,
                               tile_cap=1536 if tile == 32 else 768,
                               pair_cap=1 << 21, chunk=32, backend=backend,
-                              bin_pairs_per_chunk=16384 if tile == 32
-                              else 32768)
+                              bin_chunk=bin_chunk,
+                              bin_pairs_per_chunk=bin_pc)
     pts, cols = _synthetic_scene(n_points)
     # compact spatial distribution so tile occupancy resembles a real scene
     st = state_mod.create_state(jax.random.key(0), cfg, pts, cols,

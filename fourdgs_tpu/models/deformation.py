@@ -136,9 +136,10 @@ def deform_apply(
     """Apply the deformation field at time t. Returns deformed raw params
     (xyz, scaling, rotation, opacity, shs)."""
     n = xyz.shape[0]
-    t = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (n,))
+    t = jnp.asarray(t, jnp.float32)
     if cfg.no_grid:
-        feat = jnp.concatenate([xyz, t[:, None]], axis=-1)
+        feat = jnp.concatenate(
+            [xyz, jnp.broadcast_to(t, (n,))[:, None]], axis=-1)
     else:
         pts_norm = normalize_aabb(xyz, aabb)
         feat = hexplane_features(params["grid"], cfg.grid, pts_norm, t)

@@ -102,19 +102,61 @@ def bilinear_sample(plane: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.n
     return top * (1 - fy) + bot * fy
 
 
+def bilinear_sample_const_v(plane: jnp.ndarray, u: jnp.ndarray,
+                            v: jnp.ndarray) -> jnp.ndarray:
+    """bilinear_sample for a SCALAR v coordinate (same math, same clamping).
+
+    Training renders one camera at one timestamp, so the three time planes
+    per level sample at a constant time row. That collapses the v lerp to a
+    2-row dynamic slice, and the remaining 1D x interpolation is done as a
+    one-hot matmul on the MXU instead of a row gather: the autodiff
+    backward then becomes onehot^T @ grad — a small matmul — rather than an
+    N-row scatter-add into the plane (XLA scatters run at ~62M rows/s on
+    v5e; 6 time-plane scatters were ~8 ms of the 100k-point train step).
+    one_hot rows are exact in any dtype and HIGHEST precision keeps the
+    accumulation f32-faithful."""
+    h, w, c = plane.shape
+    y = jnp.clip((v + 1.0) * 0.5 * (h - 1), 0.0, h - 1)
+    y0 = jnp.minimum(jnp.floor(y).astype(jnp.int32), max(h - 2, 0))
+    fy = y - y0
+    rows = jax.lax.dynamic_slice(plane, (y0, 0, 0), (min(2, h), w, c))
+    row = (rows[0] * (1.0 - fy) + rows[-1] * fy)        # (w, c)
+    # mini[x] = [row[x], row[min(x+1, w-1)]]: both bilinear x-corners
+    mini = jnp.concatenate(
+        [row, jnp.concatenate([row[1:], row[-1:]], axis=0)], axis=-1)
+    x = jnp.clip((u + 1.0) * 0.5 * (w - 1), 0.0, w - 1)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    fx = (x - x0)[:, None]
+    oh = jax.nn.one_hot(x0, w, dtype=plane.dtype)       # (N, w)
+    r = jnp.matmul(oh, mini, precision=jax.lax.Precision.HIGHEST)
+    return r[:, :c] * (1.0 - fx) + r[:, c:] * fx
+
+
 def hexplane_features(
     grids: dict[str, jnp.ndarray],
     cfg: HexPlaneConfig,
     pts_norm: jnp.ndarray,   # (N, 3) in [-1, 1]
-    t: jnp.ndarray,          # (N,) raw timestamps (in [0, 1] by convention)
+    t: jnp.ndarray,          # () or (N,) raw timestamps (in [0, 1])
 ) -> jnp.ndarray:
-    """(N, feat_dim): per-level product over 6 planes, concat over levels."""
-    coords = jnp.concatenate([pts_norm, t[:, None]], axis=-1)  # (N, 4)
+    """(N, feat_dim): per-level product over 6 planes, concat over levels.
+
+    A scalar t (the per-camera timestamp — the training/render case) takes
+    the constant-time fast path for the three time planes per level; a
+    per-point t array falls back to the generic gather sampler."""
+    import os
+    t_scalar = jnp.ndim(t) == 0 and not os.environ.get("FOURDGS_NO_CONST_T")
+    coords = pts_norm if t_scalar else jnp.concatenate(
+        [pts_norm, jnp.broadcast_to(t, pts_norm.shape[:1])[:, None]],
+        axis=-1)
     outs = []
     for lvl in range(len(cfg.multires)):
         prod = None
         for ci, (a, b) in enumerate(COO_COMBS):
-            s = bilinear_sample(grids[f"l{lvl}_p{ci}"], coords[:, a], coords[:, b])
+            plane = grids[f"l{lvl}_p{ci}"]
+            if t_scalar and b == 3:
+                s = bilinear_sample_const_v(plane, coords[:, a], t)
+            else:
+                s = bilinear_sample(plane, coords[:, a], coords[:, b])
             prod = s if prod is None else prod * s
         outs.append(prod)
     return jnp.concatenate(outs, axis=-1)

@@ -48,6 +48,13 @@ class StepAux(NamedTuple):
     # binner overflow telemetry, summed over the batch (0 = clean step)
     dropped_pairs: Any = 0
     dropped_tile: Any = 0
+    # gaussians visible in ANY batch view. A collapse to 0 while alive > 0
+    # is the signature of silent divergence (deformation flinging points
+    # out of the frustum / collapsing scales): the render becomes pure
+    # background, the loss stays FINITE, and every gradient is exactly
+    # zero — training freezes forever without tripping a NaN probe.
+    # (Observed: synth_mv fine-2800, grid product blow-up.)
+    n_visible: Any = -1
 
 
 def raster_config_from(cfg: Config, width: int, height: int) -> RasterConfig:
@@ -126,7 +133,8 @@ def train_step(state: TrainState, cameras: Camera, gts: jnp.ndarray,
         )
     aux = StepAux(loss=loss, l1=l1, psnr=psnr, image=outs.color[0],
                   dropped_pairs=outs.dropped_pairs.sum(),
-                  dropped_tile=outs.dropped_tile.sum())
+                  dropped_tile=outs.dropped_tile.sum(),
+                  n_visible=outs.visibility.any(axis=0).sum())
     return new_state, aux
 
 
@@ -138,6 +146,16 @@ def eval_step(state: TrainState, camera: Camera, bg: jnp.ndarray, *,
     return render(state.params["gauss"], state.params["deform"], camera, bg,
                   raster_cfg, deform_cfg, state.aabb, state.alive, active_sh,
                   stage=stage)
+
+
+@jax.jit
+def _grid_absmax(grids) -> jnp.ndarray:
+    """max |hexplane grid value| — the runaway telltale: the level feature
+    is a PRODUCT of six plane samples, so grid magnitude drift amplifies
+    into huge deformation deltas (TV regularization bounds smoothness, not
+    magnitude)."""
+    return jnp.stack([jnp.abs(g).max() for g in
+                      jax.tree.leaves(grids)]).max()
 
 
 @jax.jit
@@ -354,16 +372,25 @@ def run_stage(
         # NaN guard: roll back to the last known-good state instead of the
         # reference's full process re-exec (ref train.py:220-222).
         if it % nan_check_every == 0 or it == iterations:
+            # Three divergence signatures: non-finite loss, NaN-poisoned
+            # params, and total visibility collapse (all gaussians culled
+            # -> finite loss, zero grads, frozen forever; see StepAux).
+            collapsed = (int(np.asarray(aux.n_visible)) == 0
+                         and n_alive > 0)
             healthy = (np.isfinite(float(aux.loss))
+                       and not collapsed
                        and int(_param_nan_count(state)) == 0)
             if not healthy:
                 rollbacks += 1
                 if rollbacks >= 3:
                     raise FloatingPointError(
-                        f"loss non-finite at {stage} iteration {it} after "
-                        f"{rollbacks - 1} rollbacks; training diverged")
-                print(f"[{stage} {it}] loss non-finite; rolling back "
-                      f"{it - last_good_it} iterations")
+                        f"training diverged at {stage} iteration {it} after "
+                        f"{rollbacks - 1} rollbacks"
+                        + (" (visibility collapse)" if collapsed else ""))
+                print(f"[{stage} {it}] "
+                      + ("all gaussians culled"
+                         if collapsed else "loss non-finite")
+                      + f"; rolling back {it - last_good_it} iterations")
                 state = last_good
                 n_alive = int(state.alive.sum())
                 # resample the batch order so the retry takes a different
@@ -456,7 +483,11 @@ def run_stage(
                        # divergence telltales (cheap reductions)
                        rot_max=float(jnp.abs(
                            state.params["gauss"].rotation).max()),
-                       op_max=float(state.params["gauss"].opacity.max()))
+                       op_max=float(state.params["gauss"].opacity.max()),
+                       visible=int(np.asarray(aux.n_visible)),
+                       grid_absmax=float(_grid_absmax(
+                           state.params["deform"]["grid"]))
+                       if "deform" in state.params else 0.0)
             if dropped_pairs or dropped_tile:
                 print(f"[{stage} {it}] WARNING: binner overflow — "
                       f"{dropped_pairs} pairs / {dropped_tile} tile-cap "

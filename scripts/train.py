@@ -48,6 +48,11 @@ def main():
     parser.add_argument("--mesh", default="",
                         help="multi-chip mesh 'data,tile' (e.g. '4,2'); "
                              "batch_size must be divisible by data")
+    parser.add_argument("--detect_anomaly", action="store_true",
+                        help="enable jax_debug_nans: abort with a traceback "
+                        "at the first op producing NaN (the reference's "
+                        "torch.autograd.set_detect_anomaly, ref "
+                        "train.py:428); slower — debugging only")
     parser.add_argument("--gui", action="store_true",
                         help="serve the SIBR viewer protocol during training")
     parser.add_argument("--ip", type=str, default="127.0.0.1")
@@ -74,6 +79,8 @@ def main():
 
     from fourdgs_tpu.utils.jax_setup import enable_compilation_cache
     enable_compilation_cache()
+    if args.detect_anomaly:
+        jax.config.update("jax_debug_nans", True)
 
     from fourdgs_tpu.data.scene import Scene
     from fourdgs_tpu.ops import losses

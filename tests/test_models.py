@@ -83,6 +83,45 @@ class TestHexPlane:
         total = sum(float(jnp.abs(g).sum()) for g in grads.values())
         assert total > 0
 
+    def test_const_t_fast_path_matches_generic(self):
+        """Scalar t (the training case) routes time planes through
+        bilinear_sample_const_v; outputs AND grid gradients must match the
+        generic per-point-t sampler."""
+        grids = hexplane.init_hexplane(jax.random.key(1), self.CFG)
+        # make time planes non-trivial (init is ones)
+        grids = {k: v + 0.3 * jax.random.normal(jax.random.key(i), v.shape)
+                 for i, (k, v) in enumerate(sorted(grids.items()))}
+        rng = np.random.default_rng(3)
+        pts = jnp.asarray(rng.uniform(-1.2, 1.2, (50, 3)), jnp.float32)
+        for tv in (0.0, 0.37, 0.5, 1.0):
+            a = hexplane.hexplane_features(
+                grids, self.CFG, pts, jnp.full((50,), tv))
+            b = hexplane.hexplane_features(
+                grids, self.CFG, pts, jnp.float32(tv))
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=1e-5, rtol=1e-5)
+
+        def f(g, t):
+            out = hexplane.hexplane_features(g, self.CFG, pts, t)
+            return (out * jnp.sin(jnp.arange(out.size).reshape(out.shape))
+                    ).sum()
+
+        ga = jax.grad(f)(grids, jnp.full((50,), 0.37))
+        gb = jax.grad(f)(grids, jnp.float32(0.37))
+        for k in ga:
+            np.testing.assert_allclose(np.asarray(gb[k]), np.asarray(ga[k]),
+                                       atol=1e-5, rtol=1e-4, err_msg=k)
+
+    def test_const_v_sampler_matches_bilinear(self):
+        plane = jnp.asarray(
+            np.random.default_rng(0).normal(size=(5, 9, 3)), jnp.float32)
+        u = jnp.linspace(-1.3, 1.3, 21)
+        for v in (-1.0, -0.4, 0.0, 0.73, 1.0, 2.0):
+            a = hexplane.bilinear_sample(plane, u, jnp.full((21,), v))
+            b = hexplane.bilinear_sample_const_v(plane, u, jnp.float32(v))
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=1e-6, err_msg=str(v))
+
     def test_normalize_aabb_reference_quirk(self):
         # rows are (max, min): max maps to -1, min to +1
         aabb = jnp.array([[2.0, 2.0, 2.0], [-2.0, -2.0, -2.0]])
