@@ -49,7 +49,7 @@ def main():
     cfg.hidden.defor_depth = 0
     cfg.hidden.net_width = 64
     cap = 1 << (n_points - 1).bit_length()
-    tile = int(os.environ.get("BENCH_TILE", 32))
+    tile = int(os.environ.get("BENCH_TILE", RasterParams.tile_size))
     bin_chunk = int(os.environ.get("BENCH_BIN_CHUNK", 4096))
     bin_pc = int(os.environ.get(
         "BENCH_BIN_PC",

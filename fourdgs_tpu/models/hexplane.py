@@ -40,6 +40,10 @@ class HexPlaneConfig:
     multires: tuple[int, ...] = (1, 2, 4, 8)
     init_a: float = 0.1
     init_b: float = 0.5
+    # Use the constant-time MXU fast path for time planes when t is scalar
+    # (bilinear_sample_const_v). Static config — baked in at trace time;
+    # disable to force the generic gather sampler (e.g. for A/B timing).
+    const_t: bool = True
 
     @property
     def feat_dim(self) -> int:
@@ -143,8 +147,7 @@ def hexplane_features(
     A scalar t (the per-camera timestamp — the training/render case) takes
     the constant-time fast path for the three time planes per level; a
     per-point t array falls back to the generic gather sampler."""
-    import os
-    t_scalar = jnp.ndim(t) == 0 and not os.environ.get("FOURDGS_NO_CONST_T")
+    t_scalar = jnp.ndim(t) == 0 and cfg.const_t
     coords = pts_norm if t_scalar else jnp.concatenate(
         [pts_norm, jnp.broadcast_to(t, pts_norm.shape[:1])[:, None]],
         axis=-1)

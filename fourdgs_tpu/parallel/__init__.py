@@ -1,2 +1,2 @@
 from fourdgs_tpu.parallel.mesh import make_mesh
-from fourdgs_tpu.parallel.sharded import sharded_train_step, sharded_loss_fn
+from fourdgs_tpu.parallel.sharded import sharded_train_step

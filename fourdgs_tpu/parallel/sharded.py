@@ -260,10 +260,6 @@ def sharded_train_step(state, cameras, gts, bg, *, mesh: Mesh, stage: str,
     return new_state, loss, aux
 
 
-def sharded_loss_fn(*args, **kwargs):
-    return make_sharded_loss(*args, **kwargs)
-
-
 @functools.lru_cache(maxsize=8)
 def _make_sharded_render(mesh: Mesh, cfg: RasterConfig,
                          deform_cfg: DeformConfig, stage: str,

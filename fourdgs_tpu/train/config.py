@@ -139,6 +139,16 @@ class RasterParams:
     backend: str = "auto"        # "auto" | "xla" | "pallas"
     bin_chunk: int = 4096        # gaussians per counting-binner scan step
     bin_pairs_per_chunk: int = 16384  # pair slots per scan step
+    # bucketed-capacity schedule (loop.pick_bucket): LIVE buffer capacity is
+    # the smallest power of two >= n_alive * bucket_headroom, floored at
+    # min_bucket. Each distinct bucket costs one train-step compile; raise
+    # min_bucket (or headroom) so a run sees fewer buckets.
+    min_bucket: int = 4096
+    bucket_headroom: float = 2.0
+    # AOT-compile the NEXT bucket's train step on a background thread while
+    # training continues (populates the persistent compilation cache, so
+    # the bucket switch pays tracing only, not the 60-90 s XLA compile).
+    prewarm: bool = True
 
 
 @dataclass

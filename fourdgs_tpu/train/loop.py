@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import threading
 import time
 from typing import Any, Callable, NamedTuple
 
@@ -184,6 +185,58 @@ def pick_bucket(n_alive: int, max_cap: int, min_bucket: int = 4096,
     return min(b, max_cap)
 
 
+def _abstract_resize(tree, old_cap: int, new_cap: int):
+    """ShapeDtypeStruct pytree with every per-point leading axis (== old_cap)
+    re-sized to new_cap; used to AOT-lower a bucket's step before any real
+    buffer of that size exists."""
+    def fix(x):
+        shape = jnp.shape(x)
+        if len(shape) >= 1 and shape[0] == old_cap:
+            shape = (new_cap,) + shape[1:]
+        return jax.ShapeDtypeStruct(shape, jnp.result_type(x))
+    return jax.tree.map(fix, tree)
+
+
+class BucketPrewarmer:
+    """Background AOT compilation of upcoming train-step variants.
+
+    The bucketed-capacity ladder recompiles the whole jitted step at every
+    bucket growth; first-run compiles cost 60-90 s each through the
+    remote-compile tunnel (measured: ~5 min of a 6 min synth_mv log was
+    compile stalls). This pre-lowers the next bucket's step on a daemon
+    thread so the XLA binary is already in the persistent compilation cache
+    when the switch happens — the foreground call then pays tracing only.
+    (The jit in-memory cache is NOT shared with AOT lowering; the disk
+    cache is the hand-off, see utils/jax_setup.enable_compilation_cache.)
+    """
+
+    def __init__(self):
+        self._warmed: set = set()
+        self._lock = threading.Lock()
+
+    def mark(self, key: tuple):
+        """Record a variant as already compiled (e.g. by a live call)."""
+        with self._lock:
+            self._warmed.add(key)
+
+    def queue(self, key: tuple, work: Callable[[], Any]):
+        with self._lock:
+            if key in self._warmed:
+                return
+            self._warmed.add(key)
+
+        def run():
+            try:
+                t0 = time.perf_counter()
+                work()
+                print(f"[prewarm] {key} compiled in "
+                      f"{time.perf_counter() - t0:.1f}s")
+            except Exception as e:  # best effort — never kill training
+                print(f"[prewarm] {key} failed: {e}")
+
+        threading.Thread(target=run, daemon=True).start()
+
+
 def compact_and_resize(state: TrainState, new_cap: int) -> TrainState:
     """Host-side: move alive slots to the front (stable) and pad/trim every
     per-point buffer (params, Adam moments, accum stats) to new_cap."""
@@ -317,6 +370,34 @@ def run_stage(
     # ~20 ms). The count only changes at surgery, so refresh it there.
     n_alive = int(state.alive.sum())
 
+    min_bucket = cfg.raster.min_bucket
+    headroom = cfg.raster.bucket_headroom
+
+    def bucket_for(n):
+        return pick_bucket(n, cfg.raster.capacity, min_bucket, headroom)
+
+    prewarmer = (BucketPrewarmer()
+                 if cfg.raster.prewarm and mesh is None else None)
+
+    def queue_prewarm(bucket: int, track: bool, cams_ex, gts_ex):
+        """AOT-lower the (bucket, track_stats) step variant in background."""
+        if prewarmer is None:
+            return
+        sds = lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x))
+        abs_state = _abstract_resize(state, state.capacity, bucket)
+        abs_cams = jax.tree.map(sds, cams_ex)
+        abs_gts, abs_bg = sds(gts_ex), sds(bg)
+        abs_sh = jax.ShapeDtypeStruct((), jnp.int32)
+
+        def work():
+            train_step.lower(
+                abs_state, abs_cams, abs_gts, abs_bg, abs_sh, stage=stage,
+                raster_cfg=raster_cfg, deform_cfg=deform_cfg, tx=tx,
+                lambda_dssim=float(opt.lambda_dssim),
+                reg_weights=reg_weights, track_stats=track).compile()
+
+        prewarmer.queue((stage, bucket, track), work)
+
     for it in range(start_iteration + 1, iterations + 1):
         if on_iteration is not None:
             # e.g. the GUI socket poll (ref train.py:109-134); excluded
@@ -350,6 +431,20 @@ def run_stage(
             cams = jax.tree.map(lambda a: a[idxs], stacked_cameras)
             gts = images[idxs]
 
+        if prewarmer is not None:
+            track_now = it < opt.densify_until_iter
+            # the live call below compiles (stage, capacity, track_now)
+            prewarmer.mark((stage, state.capacity, track_now))
+            # bucket growth: once alive count passes ~half the switch
+            # threshold, warm the next bucket in the background
+            if (state.capacity < cfg.raster.capacity
+                    and n_alive * headroom * 2 > state.capacity):
+                queue_prewarm(min(state.capacity * 2, cfg.raster.capacity),
+                              track_now, cams, gts)
+            # track_stats flips once at densify_until_iter: warm it ahead
+            if track_now and opt.densify_until_iter - it <= 300:
+                queue_prewarm(state.capacity, False, cams, gts)
+
         if mesh is not None:
             from fourdgs_tpu.parallel.sharded import sharded_train_step
             state, loss, saux = sharded_train_step(
@@ -360,7 +455,11 @@ def run_stage(
             aux = StepAux(loss=loss, l1=saux.l1, psnr=saux.psnr,
                           image=jnp.zeros((1, 1, 3)),
                           dropped_pairs=saux.dropped_pairs,
-                          dropped_tile=saux.dropped_tile)
+                          dropped_tile=saux.dropped_tile,
+                          # wire visibility through so the collapse guard
+                          # below protects mesh runs too (ShardedAux.visible
+                          # is replicated across the mesh)
+                          n_visible=saux.visible.sum())
         else:
             state, aux = train_step(
                 state, cams, gts, bg, jnp.int32(active_sh), stage=stage,
@@ -420,7 +519,7 @@ def run_stage(
                     and it % opt.densification_interval == 0
                     and n_alive < opt.densify_max_points):
                 # grow bucket first so clones/splits find free slots
-                bucket = pick_bucket(n_alive, cfg.raster.capacity)
+                bucket = bucket_for(n_alive)
                 if bucket != state.capacity:
                     state = compact_and_resize(state, bucket)
                 key, sub = jax.random.split(key)
@@ -448,7 +547,7 @@ def run_stage(
                 state = densify_mod.reset_opacity(state)
             if did_surgery:
                 # re-bucket downward is rare; keep compact for slicing
-                bucket = pick_bucket(n_alive, cfg.raster.capacity)
+                bucket = bucket_for(n_alive)
                 if bucket != state.capacity:
                     state = compact_and_resize(state, bucket)
 

@@ -7,7 +7,8 @@ Phase 2 (--fine NAME): restore the coarse checkpoint, run fine N iters,
 dump the history (loss/psnr/visible/grid_absmax every 50) to
 outputs/stab/fine_NAME.json. Toggle variants via env:
   BENCH_BACKEND=xla        XLA blend instead of Pallas
-  FOURDGS_NO_CONST_T=1     generic time-plane sampler (per-point t)
+(The generic time-plane sampler can be forced via
+ HexPlaneConfig.const_t=False in the config.)
 
 Purpose: the first full synth_mv run died at fine-2800 (visibility
 collapse after a hexplane magnitude runaway); this isolates whether any

@@ -17,7 +17,12 @@ rng = np.random.default_rng(0)
 packed = jnp.asarray(rng.normal(size=(nrows, W)), jnp.float32)
 dest = jnp.asarray(rng.integers(0, nrows + 1000, total), jnp.int32)
 slot0 = jnp.asarray(np.sort(rng.integers(0, total, n)), jnp.int32)
-alloc = jnp.asarray(rng.integers(0, 6, n), jnp.int32)
+# clamp alloc so slot0 + alloc stays inside slot0's chunk budget, matching
+# the real binner (gs_alloc clip in rasterize_tiled.py) — keeps the
+# boundary gathers in-range so variant outputs are numerically comparable
+alloc_raw = rng.integers(0, 6, n)
+alloc = jnp.asarray(
+    np.minimum(alloc_raw, pc - (np.asarray(slot0) % pc)), jnp.int32)
 gid = jnp.asarray(rng.permutation(n), jnp.int32)
 
 def t(fn, name):
