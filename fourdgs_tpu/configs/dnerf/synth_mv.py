@@ -1,0 +1,19 @@
+# Synthetic multi-view benchmark scene (data/synth_mv: 5 cams x 30 times,
+# 400x400, held-out test cameras). D-NeRF-style schedule; the time-plane
+# resolution follows the reference's guidance of ~half the dynamic frame
+# count (ref arguments/__init__.py:92 — 30 timestamps -> 16).
+_base_ = './dnerf_default.py'
+
+ModelHiddenParams = dict(
+    kplanes_config={
+        'grid_dimensions': 2,
+        'input_coordinate_dim': 4,
+        'output_coordinate_dim': 32,
+        'resolution': [64, 64, 64, 16],
+    },
+)
+
+RasterParams = dict(
+    # one coarse bucket + at most two fine buckets: few step recompiles
+    min_bucket=32768,
+)

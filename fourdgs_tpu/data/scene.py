@@ -14,6 +14,7 @@ no host->device copies per step.
 from __future__ import annotations
 
 import os
+import threading
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -117,6 +118,11 @@ class ImageBank:
     Duck-types the array surface the train loop uses: `bank[idxs]` returns
     a device-resident (B, H, W, 3) f32 batch, `.shape[0]`/len() give the
     view count.
+
+    `prefetch(idxs)` overlaps the next batch's decode + host->device upload
+    with the current step's device compute on a single worker thread (the
+    TPU analogue of the reference's DataLoader workers, ref train.py:89-94;
+    one thread two batches deep is enough since decode < step time).
     """
 
     def __init__(self, mode: str, *, device_images=None, host_images=None,
@@ -131,6 +137,9 @@ class ImageBank:
         self._hw = (height, width)
         self._cache: dict[int, np.ndarray] = {}
         self._cache_size = cache_size
+        self._lock = threading.Lock()
+        self._pool = None
+        self._pending: dict[tuple, Any] = {}
 
     @property
     def shape(self):
@@ -144,14 +153,45 @@ class ImageBank:
         return int(self.shape[0])
 
     def _load_lazy(self, i: int) -> np.ndarray:
-        if i in self._cache:
-            return self._cache[i]
+        with self._lock:
+            if i in self._cache:
+                return self._cache[i]
         img = np.rint(_load_image(self._infos[i], self._downscale)
                       * 255.0).astype(np.uint8)
-        if len(self._cache) >= self._cache_size:
-            self._cache.pop(next(iter(self._cache)))
-        self._cache[i] = img
+        with self._lock:
+            if len(self._cache) >= self._cache_size:
+                self._cache.pop(next(iter(self._cache)))
+            self._cache[i] = img
         return img
+
+    def _materialize(self, idxs: np.ndarray):
+        if self.mode == "host":
+            batch = self._host[idxs]
+        else:
+            batch = np.stack([self._load_lazy(int(i)) for i in idxs])
+        # jnp dispatch is async: the upload + u8->f32 convert run on device
+        # while the caller's previous step is still executing
+        return jnp.asarray(batch, jnp.float32) / 255.0
+
+    def prefetch(self, idxs):
+        """Schedule decode + device upload of a future batch on the worker
+        thread; a later `bank[same idxs]` returns the staged array."""
+        if self.mode == "device":
+            return
+        key = tuple(int(i) for i in np.ravel(idxs))
+        with self._lock:
+            if key in self._pending:
+                return
+            if self._pool is None:
+                import concurrent.futures
+                self._pool = concurrent.futures.ThreadPoolExecutor(
+                    max_workers=1, thread_name_prefix="imagebank")
+            # bound staleness: a batch order reshuffle (e.g. the NaN-guard
+            # rollback resamples the epoch) can orphan scheduled batches
+            while len(self._pending) >= 4:
+                self._pending.pop(next(iter(self._pending)))
+            self._pending[key] = self._pool.submit(
+                self._materialize, np.asarray(idxs))
 
     def __getitem__(self, idxs):
         if self.mode == "device":
@@ -159,11 +199,12 @@ class ImageBank:
         if np.ndim(idxs) == 0:
             return self[np.asarray([idxs])][0]
         idxs = np.asarray(idxs)
-        if self.mode == "host":
-            batch = self._host[idxs]
-        else:
-            batch = np.stack([self._load_lazy(int(i)) for i in idxs])
-        return jnp.asarray(batch, jnp.float32) / 255.0
+        with self._lock:
+            fut = self._pending.pop(tuple(int(i) for i in idxs.ravel()),
+                                    None)
+        if fut is not None:
+            return fut.result()
+        return self._materialize(idxs)
 
 
 # staging budget: splits bigger than this (decoded f32) stay off-device

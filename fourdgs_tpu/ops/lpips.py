@@ -50,10 +50,25 @@ def default_weights_path(net: str = "vgg") -> str:
 
 
 def load_weights(net: str = "vgg", path: str | None = None):
-    """-> params dict or None when no weight file is available."""
+    """-> params dict or None when no weight file is available.
+
+    If a `<path>.sha256` sidecar exists (written by
+    scripts/export_lpips_weights.py), the file content is verified against
+    it — a corrupted or swapped weight file fails loudly rather than
+    silently skewing every reported LPIPS number."""
     path = path or default_weights_path(net)
     if not os.path.exists(path):
         return None
+    side = path + ".sha256"
+    if os.path.exists(side):
+        import hashlib
+        want = open(side).read().split()[0].strip()
+        got = hashlib.sha256(open(path, "rb").read()).hexdigest()
+        if got != want:
+            raise ValueError(
+                f"LPIPS weights checksum mismatch for {path}: "
+                f"expected {want[:16]}..., got {got[:16]}... — re-export "
+                f"with scripts/export_lpips_weights.py")
     z = np.load(path)
     return {k: jnp.asarray(z[k]) for k in z.files}
 

@@ -416,6 +416,15 @@ def run_stage(
             ptr = 0
         idxs = perm[ptr:ptr + batch]
         ptr += batch
+        # overlap the NEXT batch's decode + host->device upload with this
+        # step's compute (host/lazy ImageBanks; no-op at epoch boundaries
+        # where the next permutation isn't drawn yet)
+        if hasattr(images, "prefetch") and ptr + batch <= len(perm):
+            nxt = perm[ptr:ptr + batch]
+            if mesh is not None and jax.process_count() > 1:
+                from fourdgs_tpu.parallel import multihost
+                nxt = nxt[multihost.host_batch_slice(len(nxt))]
+            images.prefetch(nxt)
 
         if mesh is not None and jax.process_count() > 1:
             # multi-host: every process drew the same permutation (same

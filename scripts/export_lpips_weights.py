@@ -53,7 +53,13 @@ def export(net: str, out: str):
 
     os.makedirs(os.path.dirname(os.path.abspath(out)), exist_ok=True)
     np.savez(out, **arrays)
-    print(f"wrote {out}: {len(arrays)} arrays")
+    # checksum sidecar: fourdgs_tpu.ops.lpips.load_weights verifies it so a
+    # corrupted/mismatched copy fails loudly instead of skewing metrics
+    import hashlib
+    digest = hashlib.sha256(open(out, "rb").read()).hexdigest()
+    with open(out + ".sha256", "w") as f:
+        f.write(f"{digest}  {os.path.basename(out)}\n")
+    print(f"wrote {out}: {len(arrays)} arrays (sha256 {digest[:16]}...)")
 
 
 if __name__ == "__main__":

@@ -63,7 +63,19 @@ def evaluate(model_paths):
 
     lpips_fn = try_lpips()
     if lpips_fn is None:
-        print("LPIPS unavailable (no lpips/torchvision weights); skipping.")
+        from fourdgs_tpu.ops import lpips as jlpips
+        print(
+            "LPIPS: skipped — missing weight files:\n"
+            + "".join(f"  {jlpips.default_weights_path(k)}\n"
+                      for k in ("vgg", "alex"))
+            + "  To produce them, run ONCE on any machine with torchvision\n"
+            "  + network access (this image has neither):\n"
+            "    python scripts/export_lpips_weights.py --net alex "
+            "--out weights/lpips_alex.npz\n"
+            "    python scripts/export_lpips_weights.py --net vgg "
+            "--out weights/lpips_vgg.npz\n"
+            "  then copy the npz (+ .sha256 sidecar) into <repo>/weights/.\n"
+            "  All other metrics are still computed.")
 
     for scene_dir in model_paths:
         print(f"Scene: {scene_dir}")

@@ -29,6 +29,10 @@ def main():
     parser.add_argument("--skip_test", action="store_true")
     parser.add_argument("--skip_video", action="store_true")
     parser.add_argument("--configs", default="")
+    parser.add_argument("--mesh", default="",
+                        help="render tile-sharded over a multi-chip mesh "
+                             "'data,tile' (e.g. '1,8'); the per-gaussian "
+                             "pipeline and blend split across 'tile'")
     args = parser.parse_args()
 
     from fourdgs_tpu.train import config as config_mod
@@ -71,11 +75,31 @@ def main():
                      else [0.0, 0.0, 0.0])
     from fourdgs_tpu.render.render import render as render_fn
 
-    @jax.jit
-    def render_one(camera):
-        return render_fn(params["gauss"], params["deform"], camera, bg,
-                         raster_cfg, deform_cfg, jnp.asarray(aabb), alive,
-                         cfg.model.sh_degree, stage="fine").color
+    if args.mesh:
+        from types import SimpleNamespace
+
+        from fourdgs_tpu.parallel.mesh import make_mesh
+        from fourdgs_tpu.parallel.sharded import sharded_eval_render
+        n_data, n_tile = (int(x) for x in args.mesh.split(","))
+        mesh = make_mesh(n_data, n_tile)
+        assert raster_cfg.num_tiles % n_tile == 0, \
+            f"num_tiles {raster_cfg.num_tiles} not divisible by tile={n_tile}"
+        pseudo_state = SimpleNamespace(params=params, alive=alive,
+                                       aabb=jnp.asarray(aabb))
+        print(f"rendering on mesh data={n_data} tile={n_tile}")
+
+        def render_one(camera):
+            color, _, _ = sharded_eval_render(
+                pseudo_state, camera, bg, mesh=mesh, raster_cfg=raster_cfg,
+                deform_cfg=deform_cfg, stage="fine",
+                active_sh=cfg.model.sh_degree)
+            return color
+    else:
+        @jax.jit
+        def render_one(camera):
+            return render_fn(params["gauss"], params["deform"], camera, bg,
+                             raster_cfg, deform_cfg, jnp.asarray(aabb),
+                             alive, cfg.model.sh_degree, stage="fine").color
 
     pool = concurrent.futures.ThreadPoolExecutor(max_workers=8)
 

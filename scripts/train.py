@@ -196,6 +196,21 @@ def main():
         def epoch_order_fn(r):
             return fine_sample_order(len(scene.train), n_poses, r)
 
+    def eval_render(state, cam, stage, active_sh):
+        """Mesh-aware single-view render: tile-sharded over the mesh when
+        one is active (sharded_eval_render), single-device otherwise."""
+        if mesh is not None and raster_cfg.num_tiles % mesh.shape["tile"] == 0:
+            from fourdgs_tpu.parallel.sharded import sharded_eval_render
+            color, depth, _ = sharded_eval_render(
+                state, cam, bg, mesh=mesh, raster_cfg=raster_cfg,
+                deform_cfg=deform_cfg, stage=stage,
+                active_sh=int(active_sh))
+            return color, depth
+        out = loop.eval_step(state, cam, bg, stage=stage,
+                             active_sh=active_sh, raster_cfg=raster_cfg,
+                             deform_cfg=deform_cfg)
+        return out.color, out.depth
+
     def make_on_test(stage):
         def eval_split(split, name, it, state, active_sh, n=None,
                        save_triptych=False):
@@ -203,11 +218,8 @@ def main():
             psnrs = []
             for i in range(n):
                 cam = jax.tree.map(lambda a: a[i], split.cameras)
-                out = loop.eval_step(state, cam, bg, stage=stage,
-                                     active_sh=active_sh,
-                                     raster_cfg=raster_cfg,
-                                     deform_cfg=deform_cfg)
-                img = jnp.clip(out.color, 0, 1)
+                color, depth = eval_render(state, cam, stage, active_sh)
+                img = jnp.clip(color, 0, 1)
                 psnrs.append(float(losses.psnr(img, split.images[i])[0]))
                 if save_triptych and i == 0:
                     # gt/render/depth triptych debug images
@@ -219,7 +231,7 @@ def main():
                                      f"{stage}{name}"),
                         f"{stage}{name}", it, 0.0,
                         np.asarray(split.images[i]), np.asarray(img),
-                        np.asarray(out.depth), float(split.times[i]))
+                        np.asarray(depth), float(split.times[i]))
             return psnrs
 
         def on_test(it, state, active_sh):

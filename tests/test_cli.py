@@ -114,6 +114,41 @@ class TestRenderAndMetricsCLI:
         assert len(per_view["ours_30"]["PSNR"]) == 2
 
 
+class TestMeshCLI:
+    def test_train_cli_mesh_evals_sharded(self, tmp_path_factory):
+        """--mesh training end-to-end on the virtual CPU mesh, with the
+        test-split eval routed through sharded_eval_render (round-2 gap:
+        mesh runs fell back to single-device eval)."""
+        data = tmp_path_factory.mktemp("mdata")
+        out = tmp_path_factory.mktemp("mout")
+        write_blender_fixture(data, n_frames=4, size=32)
+        cfgfile = data / "tiny_mesh.py"
+        cfgfile.write_text(
+            "OptimizationParams = dict(iterations=8, coarse_iterations=6,\n"
+            "    batch_size=2, densify_from_iter=100)\n"
+            "ModelHiddenParams = dict(\n"
+            "    kplanes_config={'grid_dimensions': 2,\n"
+            "        'input_coordinate_dim': 4, 'output_coordinate_dim': 8,\n"
+            "        'resolution': [8, 8, 8, 4]}, net_width=32,\n"
+            "    multires=[1])\n"
+            "RasterParams = dict(capacity=2048, tile_size=16, tile_cap=128,\n"
+            "    pair_cap=16384, chunk=8, min_bucket=2048)\n")
+        env = dict(ENV, XLA_FLAGS="--xla_force_host_platform_device_count=8")
+        r = subprocess.run(
+            [sys.executable, "scripts/train.py", "-s", str(data), "-m",
+             str(out / "model"), "--configs", str(cfgfile), "--expname",
+             "tinymesh", "--mesh", "2,2", "--test_iterations", "4",
+             "--save_iterations", "8"],
+            cwd=REPO, env=env, capture_output=True, text=True, timeout=900)
+        assert r.returncode == 0, r.stderr[-3000:]
+        assert "training on mesh data=2 tile=2" in r.stdout
+        assert "Evaluating test" in r.stdout
+        log = [json.loads(l) for l in
+               open(out / "model" / "train_log.jsonl")]
+        evals = [rec for rec in log if rec.get("eval") == "test"]
+        assert evals and np.isfinite(evals[-1]["psnr"])
+
+
 class TestResume:
     def test_resume_from_checkpoint(self, trained_model):
         """--start_checkpoint with a fine-stage checkpoint must skip the

@@ -49,6 +49,28 @@ def test_lazy_cache_bounded(blender_infos):
     assert len(lazy.images._cache) <= 2
 
 
+def test_prefetch_agrees_and_drains(blender_infos):
+    """prefetch(idxs) -> bank[idxs] returns the staged batch (identical to
+    a cold read) and drains the pending table; unconsumed prefetches are
+    bounded."""
+    lazy = stack_cameras(blender_infos, device_budget=0, host_budget=0)
+    bank = lazy.images
+    idxs = np.array([1, 4])
+    cold = np.asarray(bank[idxs])
+    bank.prefetch(idxs)
+    assert len(bank._pending) == 1
+    warm = np.asarray(bank[idxs])
+    np.testing.assert_array_equal(cold, warm)
+    assert len(bank._pending) == 0
+    # orphaned prefetches (batch order reshuffled) stay bounded
+    for i in range(10):
+        bank.prefetch(np.array([i % 6]))
+    assert len(bank._pending) <= 4
+    # device banks ignore prefetch
+    dev = stack_cameras(blender_infos)
+    dev.images.prefetch(idxs)
+
+
 def test_train_step_with_host_bank(blender_infos):
     """run_stage consumes a host bank exactly like a device array."""
     import jax

@@ -33,6 +33,38 @@ def test_run_stage_with_mesh(gt_data):
     assert psnrs[-1] > psnrs[0]
 
 
+def test_collapse_guard_trips_under_mesh(gt_data):
+    """Total visibility collapse (all gaussians culled, finite loss, zero
+    grads) must trip the rollback guard on --mesh runs too — n_visible is
+    wired through ShardedAux.visible (round-2 gap: the mesh branch built
+    StepAux without it, leaving the guard inert)."""
+    import jax.numpy as jnp
+
+    cams, images, true_means, true_colors = gt_data
+    cfg = smoke_config()
+    cfg.opt.batch_size = 2
+    st = state_mod.create_state(jax.random.key(0), cfg, true_means,
+                                np.full_like(true_colors, 0.5),
+                                spatial_lr_scale=1.0)
+    # opacity logit -20 -> sigmoid ~ 2e-9 < ALPHA_MIN: the opacity-aware
+    # culling zeroes every radius, so visible == 0 while alive > 0, the
+    # render is pure background (loss FINITE, params NaN-free) and every
+    # gradient is exactly zero — the frozen-forever signature
+    g = st.params["gauss"]
+    st = st._replace(params={
+        **st.params,
+        "gauss": g._replace(opacity=jnp.full_like(g.opacity, -20.0))})
+    st = loop.compact_and_resize(st, 512)
+    tx = optim.build_optimizer(cfg.opt, 1.0, st.params)
+    st = st._replace(opt_state=tx.init(st.params))
+    rcfg = loop.raster_config_from(cfg, W, H)
+    mesh = make_mesh(2, 4)
+    with pytest.raises(FloatingPointError, match="visibility collapse"):
+        loop.run_stage(cfg, st, "coarse", 80, cams, images, tx, rcfg,
+                       rng=np.random.default_rng(1), key=jax.random.key(2),
+                       log_every=100, mesh=mesh)
+
+
 def test_nan_guard_raises_without_good_state(gt_data):
     """Loss NaN on the first check with no good state must raise (the
     reference re-execs the process; we fail fast / roll back)."""
