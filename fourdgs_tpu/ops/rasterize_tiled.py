@@ -99,14 +99,38 @@ class BinnedTiles(NamedTuple):
 # Binning
 # ---------------------------------------------------------------------------
 
-def bin_gaussians(proj: Projected, cfg: RasterConfig) -> BinnedTiles:
+def bin_gaussians(proj: Projected, cfg: RasterConfig,
+                  num_tiles: int | None = None) -> BinnedTiles:
     """Per-tile depth-ordered gaussian index lists, static shapes."""
     if cfg.binner == "count":
-        return bin_gaussians_count(proj, cfg)
+        return bin_gaussians_count(proj, cfg, num_tiles=num_tiles)
+    assert num_tiles is None, "sort binner is global-only"
     return bin_gaussians_sort(proj, cfg)
 
 
-def bin_gaussians_count(proj: Projected, cfg: RasterConfig) -> BinnedTiles:
+def clip_proj_to_tile_rows(proj: Projected, row0, rows: int) -> Projected:
+    """Restrict a projection's tile rects to `rows` tile rows starting at
+    (traced) row `row0`, re-expressed in LOCAL row coordinates.
+
+    This is the tile-axis sharding hook for the counting binner: each mesh
+    rank clips to its own band of tile rows and bins only rows*grid_x
+    tiles — same math, 1/n_tile the coverage-mask/scan/scatter rows —
+    instead of binning all tiles redundantly on every rank."""
+    y0 = jnp.clip(proj.rect_min[:, 1], row0, row0 + rows) - row0
+    y1 = jnp.clip(proj.rect_max[:, 1], row0, row0 + rows) - row0
+    span_x = jnp.maximum(proj.rect_max[:, 0] - proj.rect_min[:, 0], 0)
+    touched = jnp.where(proj.tiles_touched > 0,
+                        span_x * jnp.maximum(y1 - y0, 0), 0)
+    rect_min = jnp.stack([proj.rect_min[:, 0], y0], axis=-1)
+    rect_max = jnp.where((touched > 0)[:, None],
+                         jnp.stack([proj.rect_max[:, 0], y1], axis=-1),
+                         rect_min)
+    return proj._replace(rect_min=rect_min, rect_max=rect_max,
+                         tiles_touched=touched)
+
+
+def bin_gaussians_count(proj: Projected, cfg: RasterConfig,
+                        num_tiles: int | None = None) -> BinnedTiles:
     """Sort-free counting binner (the TPU-fast path).
 
     XLA's comparison sort over a static pair budget is O(P log^2 P) and
@@ -125,7 +149,7 @@ def bin_gaussians_count(proj: Projected, cfg: RasterConfig) -> BinnedTiles:
     gaussians are processed near-to-far the dropped ones are the furthest.
     """
     n = proj.depth.shape[0]
-    nt = cfg.num_tiles
+    nt = cfg.num_tiles if num_tiles is None else num_tiles
     g = cfg.bin_chunk
     pc = cfg.bin_pairs_per_chunk
     n_chunks = -(-n // g)

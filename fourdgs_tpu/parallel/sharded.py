@@ -15,9 +15,11 @@ Greenfield TPU design (the reference is single-GPU, SURVEY.md §5.8):
 
 Deformation + SH + projection are GAUSSIAN-sharded over "tile" (each rank
 deforms/projects cap/n_tile gaussians, then all_gathers the projected
-set), so the per-gaussian work scales down with the tile axis; only the
-binning itself still runs replicated per tile rank (it is a small slice of
-the step). The SSIM loss term needs full images, so the rendered tiles are
+set), so the per-gaussian work scales down with the tile axis; binning is
+TILE-sharded too (each rank clips rects to its band of tile rows and bins
+only its num_tiles/n_tile tiles — clip_proj_to_tile_rows), falling back to
+replicated binning only when n_tile doesn't divide the tile-row count.
+The SSIM loss term needs full images, so the rendered tiles are
 all_gathered across "tile" with a 1/n_tile weight on the local term to
 keep the psum'd parameter gradients exact (see `_ssim_term`).
 """
@@ -40,7 +42,9 @@ from fourdgs_tpu.ops import transforms
 from fourdgs_tpu.ops.projection import Projected, project_gaussians
 from fourdgs_tpu.ops.rasterize_tiled import (RasterConfig, _make_blend,
                                              _tile_pixel_coords, _untile,
-                                             bin_gaussians, tile_image)
+                                             bin_gaussians,
+                                             clip_proj_to_tile_rows,
+                                             tile_image)
 
 
 class ShardedAux(NamedTuple):
@@ -107,14 +111,35 @@ def _render_tiles_local(params, cfg: RasterConfig, deform_cfg: DeformConfig,
         proj = Projected(*[gather(f) for f in proj])
         colors = gather(colors)
         opacities = gather(opacities)
-    binned = jax.tree.map(
-        jax.lax.stop_gradient,
-        bin_gaussians(jax.tree.map(jax.lax.stop_gradient, proj), cfg))
-
     nt_local = cfg.num_tiles // n_tile
     rank = jax.lax.axis_index("tile")
     start = rank * nt_local
-    gidx = jax.lax.dynamic_slice_in_dim(binned.gidx, start, nt_local, 0)
+    proj_sg = jax.tree.map(jax.lax.stop_gradient, proj)
+    slots = None
+    if (cfg.binner == "count" and n_tile > 1
+            and cfg.grid_y % n_tile == 0):
+        # tile-axis-sharded binning: each rank clips the rects to its band
+        # of tile rows and bins ONLY its num_tiles/n_tile tiles (the
+        # contiguous tile-id ranges used for gidx/px/gts slicing are whole
+        # row bands exactly when n_tile divides grid_y). Binner cost —
+        # a third of the single-chip step — now scales with the tile axis
+        # instead of running replicated on every rank, and the local slot
+        # metadata re-enables the reassociated (scatter-free) blend
+        # backward that the replicated path had to give up.
+        rows_local = cfg.grid_y // n_tile
+        proj_local = clip_proj_to_tile_rows(proj_sg, rank * rows_local,
+                                            rows_local)
+        binned = jax.tree.map(
+            jax.lax.stop_gradient,
+            bin_gaussians(proj_local, cfg, num_tiles=nt_local))
+        gidx = binned.gidx
+        slots = binned.slots
+    else:
+        # fallback (sort binner, or n_tile doesn't divide the tile rows):
+        # replicated global binning, slice this rank's tiles after
+        binned = jax.tree.map(jax.lax.stop_gradient,
+                              bin_gaussians(proj_sg, cfg))
+        gidx = jax.lax.dynamic_slice_in_dim(binned.gidx, start, nt_local, 0)
     px_all, py_all = _tile_pixel_coords(cfg)
     px = jax.lax.dynamic_slice_in_dim(px_all, start, nt_local, 0)
     py = jax.lax.dynamic_slice_in_dim(py_all, start, nt_local, 0)
@@ -128,7 +153,7 @@ def _render_tiles_local(params, cfg: RasterConfig, deform_cfg: DeformConfig,
     else:
         blend = _make_blend(cfg)
     color_t, depth_t, t_t = blend(gidx, px, py, proj.pix, proj.conic, colors,
-                                  opacities, proj.depth)
+                                  opacities, proj.depth, slots)
     color_t = color_t + t_t[..., None] * bg
     return (color_t, t_t, depth_t, proj.radius,
             binned.dropped_pairs, binned.dropped_tile)
@@ -203,9 +228,13 @@ def make_sharded_loss(mesh: Mesh, cfg: RasterConfig,
 
         radii = jax.lax.pmax(radii.max(axis=0), "data")
         radii = jax.lax.pmax(radii, "tile")  # identical; keeps rep invariant
-        # binning is replicated within a tile group (identical values
-        # across "tile"); summing over "data" gives the global batch total
-        drops = jax.lax.psum(jnp.stack([drop_p.sum(), drop_t.sum()]), "data")
+        # with tile-sharded binning each rank counts only its own tiles'
+        # drops (a pair belongs to exactly one tile), so sum over BOTH
+        # axes; on the replicated fallback the tile-axis values are
+        # identical and the psum over "tile" merely scales the count —
+        # still nonzero exactly when drops happened
+        drops = jax.lax.psum(jnp.stack([drop_p.sum(), drop_t.sum()]),
+                             ("data", "tile"))
         aux = ShardedAux(l1=l1, psnr=psnr, radii=radii, visible=radii > 0,
                          dropped_pairs=drops[0], dropped_tile=drops[1])
         return loss, aux
