@@ -52,6 +52,17 @@ class DeformConfig:
     empty_voxel: bool = False
     static_mlp: bool = False
     sh_coeffs: int = 16  # (max_sh_degree+1)^2; shs head outputs sh_coeffs*3
+    # Soft delta saturation: each head's delta passes through s*tanh(x/s)
+    # (identity for |x| << s, hard-bounded by s). 0 disables = the
+    # reference's unbounded deltas. Stability addition beyond the
+    # reference: on multi-view scenes the unbounded scale/position deltas
+    # admit a runaway (hexplane magnitude spikes -> e^4-sized splats ->
+    # photometric loss kills all opacity -> permanent white-background
+    # collapse; observed on synth_mv, fine-6000). Bounds in: world units
+    # (dx), log-scale units (ds), quat units (dr).
+    dx_bound: float = 0.0
+    ds_bound: float = 0.0
+    dr_bound: float = 0.0
 
 
 def _linear_init(key, fan_in, fan_out):
@@ -157,16 +168,22 @@ def deform_apply(
     else:
         mask = jnp.ones((n, 1))
 
+    def bound(x, s):
+        # soft saturation (see DeformConfig.dx_bound); s == 0 -> identity
+        return jnp.tanh(x / s) * s if s else x
+
     out_xyz = xyz
     if not cfg.no_dx:
-        out_xyz = xyz * mask + _head_apply(params["mlp"]["pos"], hidden)
+        out_xyz = xyz * mask + bound(
+            _head_apply(params["mlp"]["pos"], hidden), cfg.dx_bound)
     out_scaling = scaling
     if not cfg.no_ds:
-        out_scaling = (scaling * mask
-                       + _head_apply(params["mlp"]["scales"], hidden))
+        out_scaling = (scaling * mask + bound(
+            _head_apply(params["mlp"]["scales"], hidden), cfg.ds_bound))
     out_rotation = rotation
     if not cfg.no_dr:
-        dr = _head_apply(params["mlp"]["rotations"], hidden)
+        dr = bound(_head_apply(params["mlp"]["rotations"], hidden),
+                   cfg.dr_bound)
         if cfg.apply_rotation:
             out_rotation = quat_multiply(rotation, dr)
         else:

@@ -76,6 +76,11 @@ class ModelHiddenParams:
     static_mlp: bool = False
     apply_rotation: bool = False
     weight_decay_iteration: int = 5000
+    # soft delta saturation bounds (0 = reference-exact unbounded); see
+    # models/deformation.py DeformConfig
+    deform_dx_bound: float = 0.0
+    deform_ds_bound: float = 0.0
+    deform_dr_bound: float = 0.0
 
 
 @dataclass

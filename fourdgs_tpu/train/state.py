@@ -54,6 +54,8 @@ def deform_config_from(cfg: Config) -> DeformConfig:
         no_do=h.no_do, no_dshs=h.no_dshs, apply_rotation=h.apply_rotation,
         empty_voxel=h.empty_voxel, static_mlp=h.static_mlp,
         sh_coeffs=(cfg.model.sh_degree + 1) ** 2,
+        dx_bound=h.deform_dx_bound, ds_bound=h.deform_ds_bound,
+        dr_bound=h.deform_dr_bound,
     )
 
 
