@@ -187,20 +187,29 @@ def _bwd_kernel(need_ref, attrs_ref, px_ref, py_ref, gc_ref, gd_ref, gt_ref,
         acc_t[:] = t_in * t_prod
 
 
+def pack_attr_table(pix, conic, color, opacity, depth):
+    """(N+1, ATTR_W) per-gaussian packed attribute table with an all-zero
+    sentinel row at N (opacity 0 == no contribution) — the row source for
+    both the pack gather below and the binner's fused-attr scatter."""
+    n = pix.shape[0]
+    table = jnp.concatenate([
+        pix, conic, color, opacity[:, None], depth[:, None],
+        jnp.zeros((n, ATTR_W - 10), jnp.float32)], axis=1)
+    return jnp.concatenate([table, jnp.zeros((1, ATTR_W), jnp.float32)],
+                           axis=0)
+
+
 def _pack_attrs(gidx, pix, conic, color, opacity, depth):
     """Per-pair attribute blocks via ONE row gather.
 
     Building 10 per-column gathers + a stack costs ~275 ms at production
     scale (19M scalar gathers + a 16-lane relayout). Instead: pack a
     (N+1, 16) per-gaussian table once (O(N)), append an all-zero sentinel
-    row for padded slots (opacity 0 == no contribution), and do a single
-    contiguous 64-byte row gather per pair slot."""
+    row for padded slots, and do a single contiguous 64-byte row gather
+    per pair slot. (The fused-attr binner mode skips this entirely — the
+    binner scatters these rows itself.)"""
     n = pix.shape[0]
-    table = jnp.concatenate([
-        pix, conic, color, opacity[:, None], depth[:, None],
-        jnp.zeros((n, ATTR_W - 10), jnp.float32)], axis=1)
-    table = jnp.concatenate([table, jnp.zeros((1, ATTR_W), jnp.float32)],
-                            axis=0)
+    table = pack_attr_table(pix, conic, color, opacity, depth)
     idx = jnp.where(gidx >= 0, gidx, n)
     return table[idx]
 
@@ -224,18 +233,20 @@ def make_blend(cfg):
             return x, nt
         return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1)), nt
 
-    def _need_chunks(gidx):
+    def _need_from_counts(counts):
         """Per tile-BLOCK number of live chunks (scalar-prefetch input).
 
-        Padded slots are contiguous at the tail (gidx == -1), so the live
-        chunk count of a tile is ceil(count / k); a block of t_blk tiles
-        processes the max over its tiles. Clamped to >= 1 so the index-map
-        clamp below stays in range."""
-        counts = (gidx >= 0).sum(axis=1).astype(jnp.int32)
+        Padded slots are contiguous at the tail, so the live chunk count
+        of a tile is ceil(count / k); a block of t_blk tiles processes the
+        max over its tiles. Clamped to >= 1 so the index-map clamp below
+        stays in range."""
         pad = (-counts.shape[0]) % t_blk
         counts = jnp.pad(counts, (0, pad))
         blk_max = counts.reshape(-1, t_blk).max(axis=1)
         return jnp.clip((blk_max + k - 1) // k, 1, n_chunks)
+
+    def _need_chunks(gidx):
+        return _need_from_counts((gidx >= 0).sum(axis=1).astype(jnp.int32))
 
     # chunk-axis index map: clamp to the block's last live chunk — Pallas
     # skips the DMA when the mapped block index repeats, so the padded
@@ -326,26 +337,38 @@ def make_blend(cfg):
         )(need, *args)[0]
         return grads[:nt]
 
-    def _impl(gidx, px, py, pix, conic, color, opacity, depth):
-        attrs = _pack_attrs(gidx, pix, conic, color, opacity, depth)
-        need = _need_chunks(gidx)
+    def _derive(gidx, pix, conic, color, opacity, depth, prepacked,
+                counts):
+        """(attrs, need): from the binner's fused-attr table when given,
+        else via the pack gather over gidx."""
+        if prepacked is not None:
+            return prepacked, _need_from_counts(counts)
+        return (_pack_attrs(gidx, pix, conic, color, opacity, depth),
+                _need_chunks(gidx))
+
+    def _impl(gidx, px, py, pix, conic, color, opacity, depth,
+              prepacked=None, counts=None):
+        attrs, need = _derive(gidx, pix, conic, color, opacity, depth,
+                              prepacked, counts)
         color_t, depth_t, t_t = _fwd_call(need, attrs, px[:, None],
                                           py[:, None])
         return (jnp.moveaxis(color_t, 1, 2), depth_t[:, 0], t_t[:, 0])
 
     @jax.custom_vjp
-    def blend(gidx, px, py, pix, conic, color, opacity, depth, slots=None):
+    def blend(gidx, px, py, pix, conic, color, opacity, depth, slots=None,
+              prepacked=None, counts=None):
         del slots
-        return _impl(gidx, px, py, pix, conic, color, opacity, depth)
+        return _impl(gidx, px, py, pix, conic, color, opacity, depth,
+                     prepacked, counts)
 
     def blend_fwd(gidx, px, py, pix, conic, color, opacity, depth,
-                  slots=None):
+                  slots=None, prepacked=None, counts=None):
         # Re-derives attrs/need exactly as _impl so XLA CSEs the pack
         # gather between primal and residual (one gather total) while the
         # backward reuses it from residuals instead of re-gathering
         # (measured ~10 ms/step at 100k pts/800px).
-        attrs = _pack_attrs(gidx, pix, conic, color, opacity, depth)
-        need = _need_chunks(gidx)
+        attrs, need = _derive(gidx, pix, conic, color, opacity, depth,
+                              prepacked, counts)
         color_t, depth_t, t_t = _fwd_call(need, attrs, px[:, None],
                                           py[:, None])
         out = (jnp.moveaxis(color_t, 1, 2), depth_t[:, 0], t_t[:, 0])
@@ -377,7 +400,7 @@ def make_blend(cfg):
             acc = jnp.zeros((n + 1, ATTR_W), jnp.float32).at[flat_idx].add(
                 g2, mode="drop")[:n]
         return (None, None, None, acc[:, 0:2], acc[:, 2:5], acc[:, 5:8],
-                acc[:, 8], acc[:, 9], None)
+                acc[:, 8], acc[:, 9], None, None, None)
 
     blend.defvjp(blend_fwd, blend_bwd)
     return blend

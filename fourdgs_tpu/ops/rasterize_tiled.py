@@ -53,6 +53,10 @@ class RasterConfig:
     binner: str = "count"      # "count" (sort-free) | "sort"
     bin_chunk: int = 4096      # gaussians per counting-binner scan step
     bin_pairs_per_chunk: int = 32768  # pair slots per scan step
+    # fused-attr binning (Pallas backend + count binner): the binner
+    # scatters packed 16-lane attribute rows directly instead of gaussian
+    # ids, eliminating the (num_tiles * tile_cap)-row pack gather
+    fuse_pack: bool = True
 
     @property
     def grid_x(self) -> int:
@@ -88,11 +92,14 @@ class BlendSlots(NamedTuple):
 
 class BinnedTiles(NamedTuple):
     gidx: jnp.ndarray            # (num_tiles, tile_cap) int32, -1 padded
+    #                              (None in fused-attr mode)
     counts: jnp.ndarray          # (num_tiles,) int32
     num_pairs: jnp.ndarray       # () int32 total pairs before capping
     dropped_pairs: jnp.ndarray   # () int32 pairs beyond pair_cap
     dropped_tile: jnp.ndarray    # () int32 pairs beyond per-tile cap
     slots: Any = None            # BlendSlots (count binner only)
+    attrs: Any = None            # (num_tiles, tile_cap, W) packed attr rows
+    #                              (fused-attr mode only; empty slots zero)
 
 
 # ---------------------------------------------------------------------------
@@ -100,11 +107,14 @@ class BinnedTiles(NamedTuple):
 # ---------------------------------------------------------------------------
 
 def bin_gaussians(proj: Projected, cfg: RasterConfig,
-                  num_tiles: int | None = None) -> BinnedTiles:
+                  num_tiles: int | None = None,
+                  attr_table: jnp.ndarray | None = None) -> BinnedTiles:
     """Per-tile depth-ordered gaussian index lists, static shapes."""
     if cfg.binner == "count":
-        return bin_gaussians_count(proj, cfg, num_tiles=num_tiles)
-    assert num_tiles is None, "sort binner is global-only"
+        return bin_gaussians_count(proj, cfg, num_tiles=num_tiles,
+                                   attr_table=attr_table)
+    assert num_tiles is None and attr_table is None, \
+        "sort binner is global-only / index-emitting"
     return bin_gaussians_sort(proj, cfg)
 
 
@@ -130,7 +140,9 @@ def clip_proj_to_tile_rows(proj: Projected, row0, rows: int) -> Projected:
 
 
 def bin_gaussians_count(proj: Projected, cfg: RasterConfig,
-                        num_tiles: int | None = None) -> BinnedTiles:
+                        num_tiles: int | None = None,
+                        attr_table: jnp.ndarray | None = None
+                        ) -> BinnedTiles:
     """Sort-free counting binner (the TPU-fast path).
 
     XLA's comparison sort over a static pair budget is O(P log^2 P) and
@@ -263,19 +275,39 @@ def bin_gaussians_count(proj: Projected, cfg: RasterConfig,
          owner_local_all, valid_all))
     # overflow dests are nt*tile_cap == out of bounds -> dropped (keeping
     # them out of the buffer also keeps the in-bounds indices truly unique)
-    gidx_flat = jnp.full((nt * cfg.tile_cap,), -1, jnp.int32).at[
-        dest_all.reshape(-1)].set(val_all.reshape(-1), mode="drop",
-                                  unique_indices=True)
     n_drop = n_drop + budget_dropped
     total_pairs = proj.tiles_touched.sum()
+    gidx = None
+    attrs = None
+    if attr_table is None:
+        gidx_flat = jnp.full((nt * cfg.tile_cap,), -1, jnp.int32).at[
+            dest_all.reshape(-1)].set(val_all.reshape(-1), mode="drop",
+                                      unique_indices=True)
+        gidx = gidx_flat.reshape(nt, cfg.tile_cap)
+    else:
+        # fused-attr mode: scatter the PACKED ATTRIBUTE ROWS of each pair
+        # into their (tile, rank) slot directly — the consumer (the Pallas
+        # blend) then reads attrs straight from this table. This replaces
+        # the narrow gidx scatter (active pairs) PLUS the downstream
+        # (num_tiles * tile_cap)-row pack gather with one wide scatter
+        # over only the ACTIVE pairs (row ops are per-row, not per-byte).
+        # attr_table is (N+1, W) with a zero sentinel row at N, so padded
+        # slots (val == n) scatter zeros == "no contribution".
+        w = attr_table.shape[1]
+        rows = attr_table[val_all.reshape(-1)]
+        attrs = jnp.zeros((nt * cfg.tile_cap, w), attr_table.dtype).at[
+            dest_all.reshape(-1)].set(rows, mode="drop",
+                                      unique_indices=True)
+        attrs = attrs.reshape(nt, cfg.tile_cap, w)
     return BinnedTiles(
-        gidx=gidx_flat.reshape(nt, cfg.tile_cap),
+        gidx=gidx,
         counts=jnp.minimum(counter, cfg.tile_cap),
         num_pairs=total_pairs,
         dropped_pairs=n_drop,
         dropped_tile=jnp.maximum(counter - cfg.tile_cap, 0).sum(),
         slots=BlendSlots(dest=dest_all, slot0=gs_slot0, alloc=gs_alloc,
                          gid=order_p),
+        attrs=attrs,
     )
 
 
@@ -461,12 +493,14 @@ def _make_blend(cfg: RasterConfig):
         return _blend_fwd_scan(chunked, px, py, cfg, num_tiles=gidx.shape[0])
 
     @jax.custom_vjp
-    def blend(gidx, px, py, pix, conic, color, opacity, depth, slots=None):
-        del slots
+    def blend(gidx, px, py, pix, conic, color, opacity, depth, slots=None,
+              prepacked=None, counts=None):
+        del slots, prepacked, counts  # fused-attr mode is Pallas-only
         return _impl(gidx, px, py, pix, conic, color, opacity, depth)
 
     def blend_fwd(gidx, px, py, pix, conic, color, opacity, depth,
-                  slots=None):
+                  slots=None, prepacked=None, counts=None):
+        del prepacked, counts
         out = _impl(gidx, px, py, pix, conic, color, opacity, depth)
         return out, (gidx, px, py, pix, conic, color, opacity, depth, out,
                      slots)
@@ -559,7 +593,7 @@ def _make_blend(cfg: RasterConfig):
             acc = jnp.zeros((n + 1, 10), jnp.float32).at[flat_idx].add(
                 packed, mode="drop")[:n]
         return (None, None, None, acc[:, 0:2], acc[:, 2:5], acc[:, 5:8],
-                acc[:, 8], acc[:, 9], None)
+                acc[:, 8], acc[:, 9], None, None, None)
 
     blend.defvjp(blend_fwd, blend_bwd)
     return blend
@@ -615,15 +649,21 @@ def rasterize(
         scale_modifier=scale_modifier, cov3d_precomp=cov3d_precomp,
         opacities=opacities)
 
-    binned = jax.tree.map(
-        jax.lax.stop_gradient,
-        bin_gaussians(jax.tree.map(jax.lax.stop_gradient, proj), cfg))
-
     backend = cfg.backend
     if backend == "auto":
         # Pallas kernels win on TPU (fwd 17ms vs 25ms XLA at 100k/800px);
         # on CPU they would run interpreted, so use the XLA path there.
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    attr_table = None
+    if backend == "pallas" and cfg.binner == "count" and cfg.fuse_pack:
+        from fourdgs_tpu.ops.pallas.blend import pack_attr_table
+        attr_table = jax.lax.stop_gradient(pack_attr_table(
+            proj.pix, proj.conic, colors, opacities, proj.depth))
+    binned = jax.tree.map(
+        jax.lax.stop_gradient,
+        bin_gaussians(jax.tree.map(jax.lax.stop_gradient, proj), cfg,
+                      attr_table=attr_table))
+
     if backend == "pallas":
         from fourdgs_tpu.ops.pallas import blend as pallas_blend
         blend_fn = pallas_blend.make_blend(cfg)
@@ -632,7 +672,7 @@ def rasterize(
     px, py = _tile_pixel_coords(cfg)
     color_t, depth_t, t_t = blend_fn(
         binned.gidx, px, py, proj.pix, proj.conic, colors, opacities,
-        proj.depth, binned.slots)
+        proj.depth, binned.slots, binned.attrs, binned.counts)
 
     color = _untile(color_t, cfg) + _untile(t_t, cfg)[..., None] * bg
     depth = _untile(depth_t, cfg)
