@@ -11,6 +11,11 @@ ModelHiddenParams = dict(
         'output_coordinate_dim': 32,
         'resolution': [64, 64, 64, 16],
     },
+    # soft delta saturation: without it the fine stage on this scene hits
+    # the white-collapse runaway (see PLAN.md / ab sweep logs)
+    deform_dx_bound=2.0,
+    deform_ds_bound=1.0,
+    deform_dr_bound=1.0,
 )
 
 RasterParams = dict(
