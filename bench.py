@@ -58,7 +58,9 @@ def main():
                               tile_cap=1536 if tile == 32 else 768,
                               pair_cap=1 << 21, chunk=32, backend=backend,
                               bin_chunk=bin_chunk,
-                              bin_pairs_per_chunk=bin_pc)
+                              bin_pairs_per_chunk=bin_pc,
+                              fuse_pack=os.environ.get(
+                                  "BENCH_FUSE_PACK", "0") != "0")
     pts, cols = _synthetic_scene(n_points)
     # compact spatial distribution so tile occupancy resembles a real scene
     st = state_mod.create_state(jax.random.key(0), cfg, pts, cols,

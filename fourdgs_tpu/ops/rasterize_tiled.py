@@ -55,8 +55,12 @@ class RasterConfig:
     bin_pairs_per_chunk: int = 32768  # pair slots per scan step
     # fused-attr binning (Pallas backend + count binner): the binner
     # scatters packed 16-lane attribute rows directly instead of gaussian
-    # ids, eliminating the (num_tiles * tile_cap)-row pack gather
-    fuse_pack: bool = True
+    # ids, eliminating the (num_tiles * tile_cap)-row pack gather.
+    # MEASURED NEGATIVE on v5e (bench 10.4M -> 5.9M rays/s): XLA lowers
+    # the 16-lane-wide row scatter far worse than the narrow id scatter
+    # + wide gather it replaces. Kept available (and parity-tested) for
+    # future XLA versions; default OFF.
+    fuse_pack: bool = False
 
     @property
     def grid_x(self) -> int:

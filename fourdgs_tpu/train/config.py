@@ -144,6 +144,7 @@ class RasterParams:
     backend: str = "auto"        # "auto" | "xla" | "pallas"
     bin_chunk: int = 4096        # gaussians per counting-binner scan step
     bin_pairs_per_chunk: int = 16384  # pair slots per scan step
+    fuse_pack: bool = False      # binner emits packed attr rows (measured slower on v5e; see RasterConfig)
     # bucketed-capacity schedule (loop.pick_bucket): LIVE buffer capacity is
     # the smallest power of two >= n_alive * bucket_headroom, floored at
     # min_bucket. Each distinct bucket costs one train-step compile; raise

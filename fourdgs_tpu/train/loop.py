@@ -64,7 +64,8 @@ def raster_config_from(cfg: Config, width: int, height: int) -> RasterConfig:
                         tile_size=r.tile_size, tile_cap=r.tile_cap,
                         pair_cap=r.pair_cap, chunk=r.chunk,
                         backend=r.backend, bin_chunk=r.bin_chunk,
-                        bin_pairs_per_chunk=r.bin_pairs_per_chunk)
+                        bin_pairs_per_chunk=r.bin_pairs_per_chunk,
+                        fuse_pack=r.fuse_pack)
 
 
 @functools.partial(

@@ -11,7 +11,8 @@ from tests.test_rasterize import H, W, random_scene, simple_camera
 XLA_CFG = RasterConfig(img_width=W, img_height=H, tile_size=16, tile_cap=64,
                        pair_cap=1 << 14, chunk=8, backend="xla")
 PL_CFG = RasterConfig(img_width=W, img_height=H, tile_size=16, tile_cap=64,
-                      pair_cap=1 << 14, chunk=8, backend="pallas")
+                      pair_cap=1 << 14, chunk=8, backend="pallas",
+                      fuse_pack=True)  # keep the fused-attr mode covered
 
 
 @pytest.fixture(scope="module")
