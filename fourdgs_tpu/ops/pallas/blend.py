@@ -386,7 +386,20 @@ def make_blend(cfg):
             g_d[:, None], g_t[:, None], rc[:, None], rd[:, None],
             t_final[:, None])
         g2 = grads.reshape(-1, ATTR_W)
-        if slots is not None:
+        import os
+        if (os.environ.get("FOURDGS_PALLAS_GRAD_SCATTER")
+                and not interpret and gidx is not None):
+            # EXPLORATION PATH, opt-in only: the serial Mosaic scatter-add
+            # measures 5.8 ms ISOLATED at 960k x 16 rows (vs 7.8 ms for
+            # the reassociated reduction) but IN-GRAPH it collapsed the
+            # step 55.6 -> 134 ms (it forces materialization of the grads
+            # buffer and serializes against the surrounding backward; see
+            # PLAN.md negative results). Default stays on reassociation.
+            from fourdgs_tpu.ops.pallas.scatter import scatter_add_rows
+            flat = gidx.reshape(-1)
+            flat_idx = jnp.where(flat >= 0, flat, n)
+            acc = scatter_add_rows(flat_idx, g2, n_out=n + 1)[:n]
+        elif slots is not None:
             # reassociated reduction over the binner's contiguous slot
             # runs (gather + cumsum) — see rasterize_tiled.BlendSlots
             from fourdgs_tpu.ops.rasterize_tiled import \

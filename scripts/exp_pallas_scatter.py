@@ -45,24 +45,23 @@ def make_scatter_add(n_rows_out, width, blk, m, unroll=1):
     """rows (m, width) + idx (m,) -> acc (n_rows_out, width) f32."""
     n_blocks = m // blk
 
-    def kernel(idx_ref, rows_ref, out_ref, acc_ref):
+    def kernel(idx_ref, rows_ref, out_ref):
+        # out_ref doubles as the accumulator (constant index map keeps the
+        # block VMEM-resident across grid steps; a separate scratch would
+        # double VMEM and OOM at the 131k x 16 table size)
         b = pl.program_id(0)
 
         @pl.when(b == 0)
         def _():
-            acc_ref[:] = jnp.zeros_like(acc_ref)
+            out_ref[:] = jnp.zeros_like(out_ref)
 
         def body(r, _):
             for u in range(unroll):
                 i = idx_ref[0, r * unroll + u]
-                acc_ref[pl.ds(i, 1), :] += rows_ref[pl.ds(r * unroll + u, 1), :]
+                out_ref[pl.ds(i, 1), :] += rows_ref[pl.ds(r * unroll + u, 1), :]
             return _
 
         jax.lax.fori_loop(0, blk // unroll, body, 0)
-
-        @pl.when(b == n_blocks - 1)
-        def _():
-            out_ref[:] = acc_ref[:]
 
     fn = pl.pallas_call(
         kernel,
@@ -76,7 +75,6 @@ def make_scatter_add(n_rows_out, width, blk, m, unroll=1):
         out_specs=pl.BlockSpec((n_rows_out, width), lambda b: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_rows_out, width), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((n_rows_out, width), jnp.float32)],
         interpret=jax.default_backend() != "tpu",
     )
 

@@ -1,0 +1,42 @@
+"""Serial Pallas scatter-add vs jnp .at[].add (interpret mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fourdgs_tpu.ops.pallas.scatter import scatter_add_rows
+
+
+def test_matches_xla_scatter_add(rng):
+    m, w, n = 200, 16, 37
+    rows = jnp.asarray(rng.standard_normal((m, w)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, n, m).astype(np.int32))
+    want = jnp.zeros((n, w), jnp.float32).at[idx].add(rows)
+    got = scatter_add_rows(idx, rows, n_out=n, blk=8, unroll=4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_out_of_range_rows_dropped_to_sacrificial(rng):
+    m, w, n = 64, 16, 16
+    rows = jnp.asarray(rng.standard_normal((m, w)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, n + 10, m).astype(np.int32))
+    got = scatter_add_rows(idx, rows, n_out=n, blk=8, unroll=2)
+    clamped = jnp.clip(idx, 0, n - 1)
+    want = jnp.zeros((n, w), jnp.float32).at[clamped].add(rows)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_vmap_batches_correctly(rng):
+    """The blend backward runs under vmap for batch > 1; the kernel's
+    auto-batching must keep per-batch accumulators independent."""
+    b, m, w, n = 3, 96, 16, 21
+    rows = jnp.asarray(rng.standard_normal((b, m, w)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, n, (b, m)).astype(np.int32))
+    want = jax.vmap(
+        lambda i, r: jnp.zeros((n, w), jnp.float32).at[i].add(r))(idx, rows)
+    got = jax.vmap(
+        lambda i, r: scatter_add_rows(i, r, n_out=n, blk=8, unroll=4))(
+            idx, rows)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
