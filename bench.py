@@ -54,8 +54,14 @@ def main():
     bin_pc = int(os.environ.get(
         "BENCH_BIN_PC",
         (16384 if tile == 32 else 32768) * (bin_chunk // 4096)))
+    # tile_cap 512: zero tile-cap drops at this operating point (front
+    # 512 gaussians saturate transmittance long before the cap bites) and
+    # every per-slot table (gidx, pack gather, bwd grads) shrinks 3x vs
+    # the old 1536 — measured 11.5M -> 13.4M rays/s.
     cfg.raster = RasterParams(capacity=cap, tile_size=tile,
-                              tile_cap=1536 if tile == 32 else 768,
+                              tile_cap=int(os.environ.get(
+                                  "BENCH_TILE_CAP",
+                                  512 if tile == 32 else 256)),
                               pair_cap=1 << 21, chunk=32, backend=backend,
                               bin_chunk=bin_chunk,
                               bin_pairs_per_chunk=bin_pc,
