@@ -100,6 +100,9 @@ def bilinear_sample(plane: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.n
     packed = jnp.concatenate(
         [row_pair, jnp.concatenate([row_pair[1:], row_pair[-1:]], axis=0)],
         axis=-1).reshape(h * w, 4 * c)
+    # (A sort+sorted-segment-sum backward for this gather measured SLOWER
+    # in-graph: 13.4M -> 10.9M rays/s — the autodiff scatter-add fuses
+    # with the surrounding backward while the sort variant serializes.)
     r = packed[y0 * w + x0]
     top = r[:, :c] * (1 - fx) + r[:, c:2 * c] * fx
     bot = r[:, 2 * c:3 * c] * (1 - fx) + r[:, 3 * c:] * fx

@@ -34,7 +34,7 @@ def main():
     cfg.hidden.multires = [1, 2]
     cfg.hidden.defor_depth = 0
     cfg.hidden.net_width = 64
-    cfg.raster = RasterParams(capacity=cap, tile_size=32, tile_cap=1536,
+    cfg.raster = RasterParams(capacity=cap, tile_size=32, tile_cap=512,
                               pair_cap=1 << 21, chunk=32, backend="auto",
                               bin_pairs_per_chunk=16384)
     pts, cols = _synthetic_scene(n_points)
