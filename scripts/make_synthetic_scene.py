@@ -79,6 +79,13 @@ def main():
         "benchmark for the deformation field.")
     parser.add_argument("--n_cams", type=int, default=6)
     parser.add_argument("--n_times", type=int, default=30)
+    parser.add_argument(
+        "--holdout_every", type=int, default=0,
+        help="monocular protocol only: draw train+test from ONE pose/time "
+        "pool and hold out every Nth view as the test split (llffhold "
+        "style) instead of a separate offset spiral — test views then come "
+        "from the SAME distribution as train, the honest D-NeRF-style "
+        "interpolation benchmark. 0 keeps the separate-spiral behavior.")
     args = parser.parse_args()
 
     import jax
@@ -159,6 +166,22 @@ def main():
         # ref scene/neural_3D_dataset_NDC.py eval-cam holdout)
         write_rig_split("train", list(range(1, args.n_cams)), args.n_times)
         write_rig_split("test", [0], args.n_times)
+    elif args.holdout_every:
+        write_split("pool", args.n_train + args.n_test, 0.0)
+        # split the pool json into train/test by interleaved holdout;
+        # images stay under pool/ (file_path entries point there)
+        with open(os.path.join(args.out_dir, "transforms_pool.json")) as f:
+            pool = json.load(f)
+        k = args.holdout_every
+        tr = [fr for i, fr in enumerate(pool["frames"]) if i % k != 0]
+        te = [fr for i, fr in enumerate(pool["frames"]) if i % k == 0]
+        for name, frames in (("train", tr), ("test", te)):
+            with open(os.path.join(args.out_dir,
+                                   f"transforms_{name}.json"), "w") as f:
+                json.dump({"camera_angle_x": pool["camera_angle_x"],
+                           "frames": frames}, f)
+        os.remove(os.path.join(args.out_dir, "transforms_pool.json"))
+        print(f"holdout split: {len(tr)} train / {len(te)} test")
     else:
         write_split("train", args.n_train, 0.0)
         write_split("test", args.n_test, 0.13)
