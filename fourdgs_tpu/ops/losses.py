@@ -49,12 +49,18 @@ def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
 
 
 def _depthwise_conv2d(img: jnp.ndarray, kernel: jnp.ndarray, padding) -> jnp.ndarray:
-    """img (B, H, W, C), kernel (kh, kw) applied per channel."""
+    """img (B, H, W, C), kernel (kh, kw) applied per channel.
+
+    precision=HIGHEST is load-bearing: TPU convs default to bf16
+    multiplies, and SSIM's variance terms are catastrophic cancellations
+    (E[x^2] - mu^2 ~ 1e-3 on near-white images vs ~4e-3 bf16 error) —
+    with the default precision, device-side SSIM came out > 3."""
     c = img.shape[-1]
     k = jnp.broadcast_to(kernel[:, :, None, None], kernel.shape + (1, c))
     return jax.lax.conv_general_dilated(
         img, k, window_strides=(1, 1), padding=padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST)
 
 
 @functools.partial(jax.jit, static_argnames=("window_size", "size_average"))

@@ -74,10 +74,13 @@ def load_weights(net: str = "vgg", path: str | None = None):
 
 
 def _conv(x, w, b, stride=1, padding=1):
+    # HIGHEST: a reported METRIC must not drift with the device's default
+    # bf16 conv precision (same issue bit SSIM, see losses._depthwise_conv2d)
     out = jax.lax.conv_general_dilated(
         x, w, window_strides=(stride, stride),
         padding=[(padding, padding)] * 2,
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST)
     return out + b[None, :, None, None]
 
 

@@ -116,3 +116,21 @@ def test_gradients_match_oracle_on_device():
     d = np.abs(gb - ga)
     assert (d > 5e-3 * scale).mean() < 0.01 and d.max() < 5e-2 * scale, (
         d.max(), scale)
+
+
+def test_ssim_sane_on_device():
+    """TPU convs default to bf16 multiplies; SSIM's variance terms are
+    catastrophic cancellations, and without precision=HIGHEST device-side
+    SSIM measured > 3 on near-white images. Pin the invariants."""
+    from fourdgs_tpu.ops import losses
+    rng = np.random.default_rng(0)
+    base = np.ones((1, 256, 256, 3), np.float32)
+    base[:, 60:200, 60:200] = rng.uniform(0, 1, (1, 140, 140, 3))
+    noisy = np.clip(base + rng.normal(0, 0.05, base.shape), 0, 1)
+    a, b = jnp.asarray(base), jnp.asarray(noisy, jnp.float32)
+    s_self = float(losses.ssim(a, a))
+    s_pair = float(losses.ssim(a, b))
+    ms_pair = float(losses.ms_ssim(a, b)[0])
+    assert abs(s_self - 1.0) < 1e-3, s_self
+    assert 0.0 < s_pair < 1.0, s_pair
+    assert 0.0 < ms_pair < 1.0, ms_pair
