@@ -62,7 +62,9 @@ def main():
                               tile_cap=int(os.environ.get(
                                   "BENCH_TILE_CAP",
                                   512 if tile == 32 else 256)),
-                              pair_cap=1 << 21, chunk=32, backend=backend,
+                              pair_cap=1 << 21,
+                              chunk=int(os.environ.get("BENCH_CHUNK", 32)),
+                              backend=backend,
                               bin_chunk=bin_chunk,
                               bin_pairs_per_chunk=bin_pc,
                               fuse_pack=os.environ.get(
