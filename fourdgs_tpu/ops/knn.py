@@ -16,25 +16,43 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk"))
-def knn_mean_sq_dist(points: jnp.ndarray, k: int = 3, chunk: int = 2048) -> jnp.ndarray:
-    """Mean squared distance from each point to its k nearest neighbors."""
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "col_chunk"))
+def knn_mean_sq_dist(points: jnp.ndarray, k: int = 3, chunk: int = 2048,
+                     col_chunk: int = 8192) -> jnp.ndarray:
+    """Mean squared distance from each point to its k nearest neighbors.
+
+    Two-level chunking: queries in `chunk` rows AND candidates in
+    `col_chunk` columns, with a streaming (k+1)-smallest merge across
+    column blocks. A single full-width distance block at 200k+ points is
+    ~1.6 GB and its giant-trailing-axis top_k crashed the TPU worker;
+    blocks here stay at chunk x col_chunk (64 MB) regardless of N."""
     n = points.shape[0]
-    pad = (-n) % chunk
+    pad = (-n) % max(chunk, col_chunk)
     # Pad far away so padded rows are never selected as neighbors.
     pts = jnp.pad(points, ((0, pad), (0, 0)), constant_values=1e15)
     sq = (pts * pts).sum(-1)
+    n_cols = pts.shape[0] // col_chunk
+    c_pts = pts.reshape(n_cols, col_chunk, 3)
+    c_sq = sq.reshape(n_cols, col_chunk)
 
     def body(carry, q):
         q_pts, q_sq = q
-        # dist2[i, j] = |q_i|^2 + |p_j|^2 - 2 q_i . p_j   (MXU matmul)
-        d2 = (q_sq[:, None] + sq[None, :]
-              - 2.0 * jnp.dot(q_pts, pts.T, preferred_element_type=jnp.float32))
-        d2 = jnp.maximum(d2, 0.0)
+
+        def col(best, cb):
+            cp, csq = cb
+            # dist2[i, j] = |q_i|^2 + |p_j|^2 - 2 q_i . p_j  (MXU matmul)
+            d2 = (q_sq[:, None] + csq[None, :]
+                  - 2.0 * jnp.dot(q_pts, cp.T,
+                                  preferred_element_type=jnp.float32))
+            d2 = jnp.maximum(d2, 0.0)
+            neg_top, _ = jax.lax.top_k(
+                jnp.concatenate([-best, -d2], axis=1), k + 1)
+            return -neg_top, None
+
+        init = jnp.full((q_pts.shape[0], k + 1), jnp.inf)
+        best, _ = jax.lax.scan(col, init, (c_pts, c_sq))
         # k+1 smallest includes the self-distance 0; drop it.
-        neg_top, _ = jax.lax.top_k(-d2, k + 1)
-        knn_d2 = -neg_top[:, 1:]
-        return carry, knn_d2.mean(-1)
+        return carry, best[:, 1:].mean(-1)
 
     q_pts = pts.reshape(-1, chunk, 3)
     q_sq = sq.reshape(-1, chunk)
