@@ -187,6 +187,103 @@ def _bwd_kernel(need_ref, attrs_ref, px_ref, py_ref, gc_ref, gd_ref, gt_ref,
         acc_t[:] = t_in * t_prod
 
 
+def _bwd_fused_kernel(need_ref, idx_ref, attrs_ref, px_ref, py_ref, gc_ref,
+                      gd_ref, gt_ref, rc_ref, rd_ref, tfin_ref, acc_ref,
+                      rows_ref, acc_cg, acc_dg, acc_t, *, k, n_chunks,
+                      unroll):
+    """Blend backward with the per-gaussian gradient reduction FUSED into
+    the kernel: instead of emitting the (num_tiles, tile_cap, 16) per-slot
+    gradient table (20.5 MB at the bench point) for an XLA-side
+    reassociation/scatter pass, each live chunk's rows are serially
+    accumulated into a VMEM-resident (n_out, 16) per-gaussian table
+    (~117M rows/s on v5e — scripts/exp_pallas_scatter.py). Kills both the
+    grads materialization and the gather+cumsum reassociation
+    (rasterize_tiled.reassociate_pair_grads) behind it. Requires the
+    accumulator to fit VMEM (see scatter.fits_vmem); callers fall back to
+    the per-slot path otherwise."""
+    t = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when((t == 0) & (j == 0))
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(j == 0)
+    def _():
+        acc_cg[:] = jnp.zeros_like(acc_cg)
+        acc_dg[:] = jnp.zeros_like(acc_dg)
+        acc_t[:] = jnp.ones_like(acc_t)
+
+    occupied = j < need_ref[t]
+    live = occupied & (jnp.max(acc_t[:]) > T_MIN)
+
+    @pl.when(live)
+    def _():
+        t_in = acc_t[:]
+        attrs = attrs_ref[:]
+        alpha_u, alpha, use, w, t_pref, t_prod, dx, dy = _chunk_math(
+            attrs, px_ref[:], py_ref[:], t_in)
+        gc = gc_ref[:]
+        gd = gd_ref[:]
+        gt = gt_ref[:]
+        cg = (attrs[:, :, 5:6] * gc[:, 0:1] + attrs[:, :, 6:7] * gc[:, 1:2]
+              + attrs[:, :, 7:8] * gc[:, 2:3])
+        dg = attrs[:, :, 9:10] * gd
+        after_cg = acc_cg[:] + _scan_op(w * cg, k, jnp.add, 0.0)
+        after_dg = acc_dg[:] + _scan_op(w * dg, k, jnp.add, 0.0)
+
+        one_m_a = jnp.maximum(1.0 - alpha, 1.0 - ALPHA_MAX)
+        da = jnp.where(
+            use,
+            t_pref * (cg + dg)
+            - (rc_ref[:] - after_cg + rd_ref[:] - after_dg
+               + gt * tfin_ref[:]) / one_m_a,
+            0.0)
+        d_op = da * jnp.where(attrs[:, :, 8:9] > 0,
+                              alpha_u / jnp.maximum(attrs[:, :, 8:9], 1e-20),
+                              0.0)
+        d_pow = da * alpha_u
+
+        def rsum(x):
+            return jnp.sum(x, axis=2, keepdims=True)
+
+        cols = [
+            rsum(d_pow * -(attrs[:, :, 2:3] * dx + attrs[:, :, 3:4] * dy)),
+            rsum(d_pow * -(attrs[:, :, 4:5] * dy + attrs[:, :, 3:4] * dx)),
+            rsum(-0.5 * d_pow * dx * dx),
+            rsum(-d_pow * dx * dy),
+            rsum(-0.5 * d_pow * dy * dy),
+            rsum(w * gc[:, 0:1]),
+            rsum(w * gc[:, 1:2]),
+            rsum(w * gc[:, 2:3]),
+            rsum(d_op),
+            rsum(w * gd),
+        ]
+        t_blk = attrs.shape[0]
+        out = jnp.concatenate(
+            cols + [jnp.zeros((t_blk, k, ATTR_W - len(cols)), jnp.float32)],
+            axis=2)
+        rows_ref[:] = out.reshape(t_blk * k, ATTR_W)
+
+        acc_cg[:] = after_cg[:, k - 1:k, :]
+        acc_dg[:] = after_dg[:, k - 1:k, :]
+        acc_t[:] = t_in * t_prod
+
+        n_rows = t_blk * k
+        off = j * n_rows
+
+        def body(r, _):
+            base = r * unroll
+            for u in range(unroll):
+                i = idx_ref[0, 0, off + base + u]
+                acc_ref[pl.ds(i, 1), :] += rows_ref[pl.ds(base + u, 1), :]
+            return 0
+
+        import os
+        if not os.environ.get("FOURDGS_FUSED_NOSCAT"):   # trace-time bisect
+            jax.lax.fori_loop(0, n_rows // unroll, body, 0)
+
+
 def pack_attr_table(pix, conic, color, opacity, depth):
     """(N+1, ATTR_W) per-gaussian packed attribute table with an all-zero
     sentinel row at N (opacity 0 == no contribution) — the row source for
@@ -337,6 +434,65 @@ def make_blend(cfg):
         )(need, *args)[0]
         return grads[:nt]
 
+    def _bwd_call_fused(need, idx, attrs, px, py, gc, gd, gt, rc, rd, tfin,
+                        n_out, unroll=8):
+        """Fused backward: returns the (n_out, ATTR_W) per-gaussian table
+        directly (see _bwd_fused_kernel). idx (nt, n_chunks*k) int32 in
+        [0, n_out), sentinel rows land on n_out - 1."""
+        attrs, nt = _pad_tiles(attrs)
+        ntp = attrs.shape[0]
+        pad = ntp - nt
+        if pad:
+            idx = jnp.pad(idx, ((0, pad), (0, 0)),
+                          constant_values=n_out - 1)
+        # (tile-block, 1, n_chunks * t_blk * k): one SMEM-resident index
+        # vector per tile-block (constant over the chunk axis, so Pallas
+        # DMAs it once); chunk j's rows live at offset j * t_blk * k in
+        # (tile-in-block, slot) order, matching rows_ref
+        idx = idx.reshape(ntp // t_blk, t_blk, n_chunks, k)
+        idx = jnp.moveaxis(idx, 1, 2).reshape(
+            ntp // t_blk, 1, n_chunks * t_blk * k)
+        args = [idx, attrs]
+        for x in (px, py, gc, gd, gt, rc, rd, tfin):
+            xp, _ = _pad_tiles(x)
+            args.append(xp)
+        tile1p = pl.BlockSpec((t_blk, 1, p), _tile_map,
+                              memory_space=pltpu.VMEM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(ntp // t_blk, n_chunks),
+            in_specs=[
+                pl.BlockSpec((1, 1, n_chunks * t_blk * k),
+                             lambda t, j, need: (t, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((t_blk, k, ATTR_W), _attr_map,
+                             memory_space=pltpu.VMEM),
+                tile1p, tile1p,
+                pl.BlockSpec((t_blk, 3, p), _tile_map,
+                             memory_space=pltpu.VMEM),
+                tile1p, tile1p, tile1p, tile1p, tile1p,
+            ],
+            out_specs=[
+                pl.BlockSpec((n_out, ATTR_W), lambda t, j, need: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((t_blk * k, ATTR_W), jnp.float32),
+                pltpu.VMEM((t_blk, 1, p), jnp.float32),
+                pltpu.VMEM((t_blk, 1, p), jnp.float32),
+                pltpu.VMEM((t_blk, 1, p), jnp.float32),
+            ],
+        )
+        return pl.pallas_call(
+            functools.partial(_bwd_fused_kernel, k=k, n_chunks=n_chunks,
+                              unroll=unroll),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((n_out, ATTR_W), jnp.float32),
+            ],
+            interpret=interpret,
+        )(need, *args)[0]
+
     def _derive(gidx, pix, conic, color, opacity, depth, prepacked,
                 counts):
         """(attrs, need): from the binner's fused-attr table when given,
@@ -375,18 +531,37 @@ def make_blend(cfg):
         return out, (gidx, px, py, attrs, need, pix, out, slots)
 
     def blend_bwd(res, cotangents):
+        import os
+        from fourdgs_tpu.ops.pallas.scatter import fits_vmem
         gidx, px, py, attrs, need, pix, out, slots = res
         n = pix.shape[0]
         c_final, d_final, t_final = out
         g_c, g_d, g_t = cotangents
         rc = (c_final * g_c).sum(-1)
         rd = d_final * g_d
+        # OPT-IN ONLY (FOURDGS_PALLAS_FUSED_BWD=1): measured 2x FASTER than
+        # the reassociation path on the blend alone (7.1 vs 13.8 ms
+        # fwd+bwd at 100k/800px) — but the (n+1, 16) f32 VMEM accumulator
+        # is lane-padded to 128 by Mosaic's T(8,128) tiling, a 64 MiB
+        # scoped-vmem demand vs the 16 MiB budget; inside the full train
+        # step the compiler either OOMs outright or spills, collapsing the
+        # step 47.7 -> 115 ms. Until an 8-slot lane-packed accumulator
+        # layout (dynamic LANE placement) is expressible, the default
+        # stays on reassociation. Round-4 negative result; see PLAN.md.
+        if (not interpret and gidx is not None and fits_vmem(n + 1, ATTR_W)
+                and os.environ.get("FOURDGS_PALLAS_FUSED_BWD")):
+            idx = jnp.where(gidx >= 0, gidx, n)
+            acc = _bwd_call_fused(
+                need, idx, attrs, px[:, None], py[:, None],
+                jnp.moveaxis(g_c, 2, 1), g_d[:, None], g_t[:, None],
+                rc[:, None], rd[:, None], t_final[:, None], n + 1)[:n]
+            return (None, None, None, acc[:, 0:2], acc[:, 2:5],
+                    acc[:, 5:8], acc[:, 8], acc[:, 9], None, None, None)
         grads = _bwd_call(
             need, attrs, px[:, None], py[:, None], jnp.moveaxis(g_c, 2, 1),
             g_d[:, None], g_t[:, None], rc[:, None], rd[:, None],
             t_final[:, None])
         g2 = grads.reshape(-1, ATTR_W)
-        import os
         if (os.environ.get("FOURDGS_PALLAS_GRAD_SCATTER")
                 and not interpret and gidx is not None):
             # EXPLORATION PATH, opt-in only: the serial Mosaic scatter-add
