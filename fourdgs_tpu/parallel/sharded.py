@@ -54,6 +54,9 @@ class ShardedAux(NamedTuple):
     visible: jnp.ndarray     # (cap,) any over batch
     dropped_pairs: jnp.ndarray = 0   # () int32, summed over global batch
     dropped_tile: jnp.ndarray = 0
+    max_alpha: jnp.ndarray = 1.0     # () max accumulated alpha over every
+    #                                  pixel (contribution-collapse signal,
+    #                                  see loop.StepAux.max_alpha)
 
 
 def _render_tiles_local(params, cfg: RasterConfig, deform_cfg: DeformConfig,
@@ -235,8 +238,12 @@ def make_sharded_loss(mesh: Mesh, cfg: RasterConfig,
         # still nonzero exactly when drops happened
         drops = jax.lax.psum(jnp.stack([drop_p.sum(), drop_t.sum()]),
                              ("data", "tile"))
+        max_alpha = jax.lax.stop_gradient(jax.lax.pmax(
+            jax.lax.pmax(jax.lax.stop_gradient(1.0 - t_t).max(), "tile"),
+            "data"))
         aux = ShardedAux(l1=l1, psnr=psnr, radii=radii, visible=radii > 0,
-                         dropped_pairs=drops[0], dropped_tile=drops[1])
+                         dropped_pairs=drops[0], dropped_tile=drops[1],
+                         max_alpha=max_alpha)
         return loss, aux
 
     cam_spec = jax.tree.map(lambda _: P("data"), Camera(*Camera._fields))
@@ -244,7 +251,8 @@ def make_sharded_loss(mesh: Mesh, cfg: RasterConfig,
         body, mesh=mesh,
         in_specs=(P(), P(), P(), P(), cam_spec, P("data", "tile"), P()),
         out_specs=(P(), ShardedAux(l1=P(), psnr=P(), radii=P(), visible=P(),
-                                   dropped_pairs=P(), dropped_tile=P())),
+                                   dropped_pairs=P(), dropped_tile=P(),
+                                   max_alpha=P())),
         check_vma=False)
     return smapped
 
