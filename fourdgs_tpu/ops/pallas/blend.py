@@ -195,12 +195,21 @@ def _bwd_fused_kernel(need_ref, idx_ref, attrs_ref, px_ref, py_ref, gc_ref,
     the kernel: instead of emitting the (num_tiles, tile_cap, 16) per-slot
     gradient table (20.5 MB at the bench point) for an XLA-side
     reassociation/scatter pass, each live chunk's rows are serially
-    accumulated into a VMEM-resident (n_out, 16) per-gaussian table
-    (~117M rows/s on v5e — scripts/exp_pallas_scatter.py). Kills both the
+    accumulated into a VMEM-resident per-gaussian table. Kills both the
     grads materialization and the gather+cumsum reassociation
-    (rasterize_tiled.reassociate_pair_grads) behind it. Requires the
-    accumulator to fit VMEM (see scatter.fits_vmem); callers fall back to
-    the per-slot path otherwise."""
+    (rasterize_tiled.reassociate_pair_grads) behind it.
+
+    LANE PACKING (the part that makes this legal): a naive (n_out, 16)
+    f32 accumulator is lane-padded by Mosaic's T(8, 128) tiling to
+    (n_out, 128) — 64 MiB of scoped VMEM at n_out = 131k, an 8x blowup
+    that either fails to compile or spills catastrophically. Instead the
+    accumulator is ((n_out+7)//8, 128): gaussian i lives at row i//8,
+    lanes 16*(i%8) .. 16*(i%8)+16. Each per-slot gradient row is written
+    to the rows scratch TILED 8x across lanes, and the serial add selects
+    the right 16-lane slot with an iota mask — all dense VPU work, no
+    dynamic lane slicing. The caller unpacks with one reshape. Requires
+    the packed table to fit VMEM (scatter.fits_vmem on the packed shape);
+    callers fall back to the per-slot path otherwise."""
     t = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -263,7 +272,10 @@ def _bwd_fused_kernel(need_ref, idx_ref, attrs_ref, px_ref, py_ref, gc_ref,
         out = jnp.concatenate(
             cols + [jnp.zeros((t_blk, k, ATTR_W - len(cols)), jnp.float32)],
             axis=2)
-        rows_ref[:] = out.reshape(t_blk * k, ATTR_W)
+        # tile each 16-lane row 8x across the 128 lanes; the add below
+        # masks out everything but the destination's lane slot
+        out = out.reshape(t_blk * k, ATTR_W)
+        rows_ref[:] = jnp.concatenate([out] * (128 // ATTR_W), axis=1)
 
         acc_cg[:] = after_cg[:, k - 1:k, :]
         acc_dg[:] = after_dg[:, k - 1:k, :]
@@ -271,17 +283,19 @@ def _bwd_fused_kernel(need_ref, idx_ref, attrs_ref, px_ref, py_ref, gc_ref,
 
         n_rows = t_blk * k
         off = j * n_rows
+        lane_slot = jax.lax.broadcasted_iota(
+            jnp.int32, (1, 128), 1) // ATTR_W
 
         def body(r, _):
             base = r * unroll
             for u in range(unroll):
                 i = idx_ref[0, 0, off + base + u]
-                acc_ref[pl.ds(i, 1), :] += rows_ref[pl.ds(base + u, 1), :]
+                acc_ref[pl.ds(i // 8, 1), :] += jnp.where(
+                    lane_slot == i % 8,
+                    rows_ref[pl.ds(base + u, 1), :], 0.0)
             return 0
 
-        import os
-        if not os.environ.get("FOURDGS_FUSED_NOSCAT"):   # trace-time bisect
-            jax.lax.fori_loop(0, n_rows // unroll, body, 0)
+        jax.lax.fori_loop(0, n_rows // unroll, body, 0)
 
 
 def pack_attr_table(pix, conic, color, opacity, depth):
@@ -437,8 +451,10 @@ def make_blend(cfg):
     def _bwd_call_fused(need, idx, attrs, px, py, gc, gd, gt, rc, rd, tfin,
                         n_out, unroll=8):
         """Fused backward: returns the (n_out, ATTR_W) per-gaussian table
-        directly (see _bwd_fused_kernel). idx (nt, n_chunks*k) int32 in
-        [0, n_out), sentinel rows land on n_out - 1."""
+        (unpacked from the kernel's 8-per-row lane-packed accumulator; see
+        _bwd_fused_kernel). idx (nt, n_chunks*k) int32 in [0, n_out),
+        sentinel rows land on n_out - 1."""
+        n_pack = (n_out + 7) // 8
         attrs, nt = _pad_tiles(attrs)
         ntp = attrs.shape[0]
         pad = ntp - nt
@@ -473,25 +489,26 @@ def make_blend(cfg):
                 tile1p, tile1p, tile1p, tile1p, tile1p,
             ],
             out_specs=[
-                pl.BlockSpec((n_out, ATTR_W), lambda t, j, need: (0, 0),
+                pl.BlockSpec((n_pack, 128), lambda t, j, need: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((t_blk * k, ATTR_W), jnp.float32),
+                pltpu.VMEM((t_blk * k, 128), jnp.float32),
                 pltpu.VMEM((t_blk, 1, p), jnp.float32),
                 pltpu.VMEM((t_blk, 1, p), jnp.float32),
                 pltpu.VMEM((t_blk, 1, p), jnp.float32),
             ],
         )
-        return pl.pallas_call(
+        packed = pl.pallas_call(
             functools.partial(_bwd_fused_kernel, k=k, n_chunks=n_chunks,
                               unroll=unroll),
             grid_spec=grid_spec,
             out_shape=[
-                jax.ShapeDtypeStruct((n_out, ATTR_W), jnp.float32),
+                jax.ShapeDtypeStruct((n_pack, 128), jnp.float32),
             ],
             interpret=interpret,
         )(need, *args)[0]
+        return packed.reshape(n_pack * 8, ATTR_W)[:n_out]
 
     def _derive(gidx, pix, conic, color, opacity, depth, prepacked,
                 counts):
@@ -539,17 +556,16 @@ def make_blend(cfg):
         g_c, g_d, g_t = cotangents
         rc = (c_final * g_c).sum(-1)
         rd = d_final * g_d
-        # OPT-IN ONLY (FOURDGS_PALLAS_FUSED_BWD=1): measured 2x FASTER than
-        # the reassociation path on the blend alone (7.1 vs 13.8 ms
-        # fwd+bwd at 100k/800px) — but the (n+1, 16) f32 VMEM accumulator
-        # is lane-padded to 128 by Mosaic's T(8,128) tiling, a 64 MiB
-        # scoped-vmem demand vs the 16 MiB budget; inside the full train
-        # step the compiler either OOMs outright or spills, collapsing the
-        # step 47.7 -> 115 ms. Until an 8-slot lane-packed accumulator
-        # layout (dynamic LANE placement) is expressible, the default
-        # stays on reassociation. Round-4 negative result; see PLAN.md.
-        if (not interpret and gidx is not None and fits_vmem(n + 1, ATTR_W)
-                and os.environ.get("FOURDGS_PALLAS_FUSED_BWD")):
+        # Lane-packed fused reduction (see _bwd_fused_kernel): beats the
+        # reassociation path 2x on the blend alone (7.1 vs 13.8 ms fwd+bwd
+        # at 100k/800px). The first, unpacked (n+1, 16) accumulator variant
+        # was a round-4 negative result — Mosaic lane-pads it 8x to 64 MiB
+        # of scoped VMEM and the full step either OOMs or spills 47.7 ->
+        # 115 ms; the 8-per-row lane packing keeps it at 8.4 MiB dense.
+        # FOURDGS_PALLAS_NO_FUSED_BWD=1 falls back to reassociation.
+        if (not interpret and gidx is not None
+                and fits_vmem((n + 8) // 8, 128)
+                and not os.environ.get("FOURDGS_PALLAS_NO_FUSED_BWD")):
             idx = jnp.where(gidx >= 0, gidx, n)
             acc = _bwd_call_fused(
                 need, idx, attrs, px[:, None], py[:, None],
