@@ -22,6 +22,7 @@ Attribute packing (per pair slot, 16 f32 lanes):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -334,7 +335,10 @@ def make_blend(cfg):
     n_chunks = cfg.tile_cap // k
     # tiles per grid step (amortizes per-step overhead); scale down for
     # bigger tiles so the pipelined VMEM blocks (~ t_blk * p) stay bounded
-    t_blk = max(1, (8 * 256) // p)
+    # (t_blk 4 at p == 1024 measured +1.5% over 2 on the full bench;
+    # 8 fails to lower. Tile-16 keeps the original 8.)
+    t_blk = int(os.environ.get("FOURDGS_BLEND_TBLK", 0)) or \
+        (4 if p >= 1024 else max(1, (8 * 256) // p))
     interpret = jax.default_backend() != "tpu"
 
     def _pad_tiles(x):

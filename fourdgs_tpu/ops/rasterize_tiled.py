@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Any, NamedTuple
 
 import jax
@@ -196,24 +197,43 @@ def bin_gaussians_count(proj: Projected, cfg: RasterConfig,
     # each gaussian's first SLOT: chunk base + offset within chunk budget
     g_slot0 = gauss_chunk * pc + (start - chunk_pair_start[gauss_chunk])
     slot_in_budget = (start - chunk_pair_start[gauss_chunk]) < pc
-    marks = jnp.zeros((total_slots,), jnp.int32).at[
-        jnp.where(slot_in_budget, g_slot0, total_slots)].add(1, mode="drop")
-    owner = jnp.cumsum(marks) - 1                          # (total_slots,)
-    owner = jnp.clip(owner, 0, n_chunks * g - 1)
+    expand_cumsum = os.environ.get("FOURDGS_BIN_EXPAND", "gather") == "cumsum"
     tbl = jnp.stack(
         [g_slot0, order_p, rect_min_s[:, 0], rect_min_s[:, 1],
          jnp.maximum(rect_max_s[:, 0] - rect_min_s[:, 0], 1),
-         touched_s], axis=1)
-    row = tbl[owner]                                       # one row gather
+         touched_s,
+         jnp.arange(n_chunks * g, dtype=jnp.int32) % g], axis=1)
+    if expand_cumsum:
+        # A/B variant: the owner gather is a telescoping repeat (owner is
+        # non-decreasing), so scatter-add per-gaussian row DELTAS at each
+        # budget-clamped first slot and integrate with one int32 cumsum.
+        s_in0 = jnp.minimum(start - chunk_pair_start[gauss_chunk], pc)
+        gs0 = gauss_chunk * pc + s_in0
+        delta = tbl - jnp.concatenate(
+            [jnp.zeros((1, tbl.shape[1]), jnp.int32), tbl[:-1]], axis=0)
+        row = jnp.cumsum(
+            jnp.zeros((total_slots, tbl.shape[1]), jnp.int32).at[gs0].add(
+                delta, mode="drop"), axis=0)
+    else:
+        marks = jnp.zeros((total_slots,), jnp.int32).at[
+            jnp.where(slot_in_budget, g_slot0, total_slots)].add(
+                1, mode="drop")
+        owner = jnp.cumsum(marks) - 1                      # (total_slots,)
+        owner = jnp.clip(owner, 0, n_chunks * g - 1)
+        row = tbl[owner]                                   # one row gather
     slots_g = jnp.arange(total_slots, dtype=jnp.int32)
     local = slots_g - row[:, 0]
     valid = (local >= 0) & (local < row[:, 5])
-    sx = row[:, 4]
+    sx = jnp.maximum(row[:, 4], 1)
     t_ids_all = ((row[:, 3] + local // sx) * cfg.grid_x
                  + row[:, 2] + local % sx)
     t_ids_all = jnp.where(valid, t_ids_all, 0).reshape(n_chunks, pc)
     oidx_all = jnp.where(valid, row[:, 1], n).reshape(n_chunks, pc)
-    owner_local_all = (owner - gauss_chunk[owner] * g).reshape(n_chunks, pc)
+    if expand_cumsum:
+        owner_local_all = row[:, 6].reshape(n_chunks, pc)
+    else:
+        owner_local_all = (owner - gauss_chunk[owner] * g).reshape(
+            n_chunks, pc)
     valid_all = valid.reshape(n_chunks, pc)
     # budget overflow: pairs of a chunk beyond pc slots
     chunk_totals = jnp.diff(jnp.concatenate(
