@@ -145,6 +145,11 @@ class RasterParams:
     bin_chunk: int = 4096        # gaussians per counting-binner scan step
     bin_pairs_per_chunk: int = 16384  # pair slots per scan step
     fuse_pack: bool = False      # binner emits packed attr rows (measured slower on v5e; see RasterConfig)
+    # Auto-double tile_cap / bin_pairs_per_chunk when the binner reports
+    # overflow drops (the CUDA rasterizer grows buffers dynamically —
+    # ref submodule resizeFunctional; static caps must grow explicitly or
+    # they silently drop the furthest splats). One recompile per growth.
+    autogrow: bool = True
     # bucketed-capacity schedule (loop.pick_bucket): LIVE buffer capacity is
     # the smallest power of two >= n_alive * bucket_headroom, floored at
     # min_bucket. Each distinct bucket costs one train-step compile; raise

@@ -530,6 +530,28 @@ def run_stage(
                 last_good, last_good_it = state, it
                 rollbacks = 0  # only consecutive failures count as divergence
 
+            # --- binner overflow auto-grow ---
+            # The reference's CUDA buffers grow dynamically
+            # (ref rasterizer resizeFunctional); our static caps DROP the
+            # furthest pairs instead, which must never ship silently in a
+            # quality run (synth_mono_r3 trained with 11k-36k drops/step).
+            # Growth doubles the overflowing cap and recompiles (one stall,
+            # same mechanism as capacity buckets); piggybacks on the guard
+            # sync so it costs no extra device round-trip.
+            dp = int(jnp.asarray(aux.dropped_pairs))
+            dt = int(jnp.asarray(aux.dropped_tile))
+            if cfg.raster.autogrow and (dp or dt):
+                changes = {}
+                if dt and raster_cfg.tile_cap < 8192:
+                    changes["tile_cap"] = min(raster_cfg.tile_cap * 2, 8192)
+                if dp > dt and raster_cfg.bin_pairs_per_chunk < (1 << 18):
+                    changes["bin_pairs_per_chunk"] = min(
+                        raster_cfg.bin_pairs_per_chunk * 2, 1 << 18)
+                if changes:
+                    raster_cfg = dataclasses.replace(raster_cfg, **changes)
+                    print(f"[{stage} {it}] binner overflow ({dp} pairs / "
+                          f"{dt} tile-cap): growing {changes} (recompile)")
+
         # --- densification schedule (ref train.py:259-285) ---
         if it < opt.densify_until_iter:
             if stage == "coarse":

@@ -1,0 +1,61 @@
+"""Binner-cap auto-growth: a run that starts with overflowing caps must
+grow them (one recompile per doubling) and finish drop-free — the static-cap
+counterpart of the CUDA rasterizer's dynamic buffer resize
+(ref submodule diff-gaussian-rasterization resizeFunctional usage)."""
+import jax
+import numpy as np
+import pytest
+
+from fourdgs_tpu.train import loop, optim, state as state_mod
+from fourdgs_tpu.train.config import RasterParams
+from tests.test_e2e_train import W, H, gt_data, smoke_config, true_scene
+
+
+def test_autogrow_reaches_drop_free(gt_data):
+    cams, images, true_means, true_colors = gt_data
+    cfg = smoke_config()
+    # deliberately overflowing: 8 slots per 16x16 tile on an 80-gaussian
+    # scene drops pairs immediately
+    cfg.raster = RasterParams(capacity=4096, tile_size=16, tile_cap=8,
+                              pair_cap=1 << 15, chunk=8,
+                              bin_pairs_per_chunk=512)
+    cfg.opt.densify_from_iter = 10**9   # keep the scene static
+    rng = np.random.default_rng(0)
+    pts = true_means + rng.normal(0, 0.05, true_means.shape).astype(np.float32)
+    st = state_mod.create_state(jax.random.key(0), cfg, pts,
+                                np.full_like(true_colors, 0.5),
+                                spatial_lr_scale=1.0)
+    st = loop.compact_and_resize(st, 1024)
+    tx = optim.build_optimizer(cfg.opt, 1.0, st.params)
+    st = st._replace(opt_state=tx.init(st.params))
+    rcfg = loop.raster_config_from(cfg, W, H)
+
+    res = loop.run_stage(cfg, st, "coarse", 120, cams, images, tx, rcfg,
+                         rng=np.random.default_rng(1), key=jax.random.key(2),
+                         log_every=20)
+    drops = [(h["iter"], h["dropped_pairs"], h["dropped_tile"])
+             for h in res.history]
+    assert drops[0][1] > 0 or drops[0][2] > 0, drops   # started overflowing
+    assert drops[-1][1] == 0 and drops[-1][2] == 0, drops  # ended drop-free
+
+
+def test_autogrow_off_keeps_caps(gt_data):
+    cams, images, true_means, true_colors = gt_data
+    cfg = smoke_config()
+    cfg.raster = RasterParams(capacity=4096, tile_size=16, tile_cap=8,
+                              pair_cap=1 << 15, chunk=8,
+                              bin_pairs_per_chunk=512, autogrow=False)
+    cfg.opt.densify_from_iter = 10**9
+    rng = np.random.default_rng(0)
+    pts = true_means + rng.normal(0, 0.05, true_means.shape).astype(np.float32)
+    st = state_mod.create_state(jax.random.key(0), cfg, pts,
+                                np.full_like(true_colors, 0.5),
+                                spatial_lr_scale=1.0)
+    st = loop.compact_and_resize(st, 1024)
+    tx = optim.build_optimizer(cfg.opt, 1.0, st.params)
+    st = st._replace(opt_state=tx.init(st.params))
+    rcfg = loop.raster_config_from(cfg, W, H)
+    res = loop.run_stage(cfg, st, "coarse", 40, cams, images, tx, rcfg,
+                         rng=np.random.default_rng(1), key=jax.random.key(2),
+                         log_every=20)
+    assert res.history[-1]["dropped_tile"] > 0   # still overflowing
