@@ -215,3 +215,149 @@ def write_points3d_binary(xyz: np.ndarray, rgb: np.ndarray, path: str):
             f.write(struct.pack("<QdddBBBd", i, *xyz[i],
                                 *[int(c) for c in rgb[i]], 0.0))
             f.write(struct.pack("<Q", 0))
+
+
+# ---------------------------------------------------------------------------
+# Full-fidelity sparse-model conversion (ref scripts/colmap_converter.py).
+#
+# The scene readers above only need (xyz, rgb, err) arrays; model
+# CONVERSION must also preserve point ids and observation tracks, so the
+# functions below carry complete Point3D records and add the text writers
+# plus the read_model/write_model facade with format auto-detection.
+# ---------------------------------------------------------------------------
+
+class ColmapPoint3D(NamedTuple):
+    id: int
+    xyz: np.ndarray
+    rgb: np.ndarray
+    error: float
+    image_ids: np.ndarray
+    point2D_idxs: np.ndarray
+
+
+def read_points3d_binary_full(path: str) -> dict[int, ColmapPoint3D]:
+    pts = {}
+    with open(path, "rb") as f:
+        (num,) = _read(f, 8, "Q")
+        for _ in range(num):
+            props = _read(f, 43, "QdddBBBd")
+            (track_len,) = _read(f, 8, "Q")
+            track = _read(f, 8 * track_len, "ii" * track_len)
+            pts[props[0]] = ColmapPoint3D(
+                id=props[0], xyz=np.array(props[1:4]),
+                rgb=np.array(props[4:7]), error=props[7],
+                image_ids=np.array(track[0::2], np.int32),
+                point2D_idxs=np.array(track[1::2], np.int32))
+    return pts
+
+
+def read_points3d_text_full(path: str) -> dict[int, ColmapPoint3D]:
+    pts = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            el = line.split()
+            pid = int(el[0])
+            pts[pid] = ColmapPoint3D(
+                id=pid, xyz=np.array(el[1:4], np.float64),
+                rgb=np.array(el[4:7], np.float64), error=float(el[7]),
+                image_ids=np.array(el[8::2], np.int32),
+                point2D_idxs=np.array(el[9::2], np.int32))
+    return pts
+
+
+def write_points3d_binary_full(pts: dict[int, ColmapPoint3D], path: str):
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(pts)))
+        for p in pts.values():
+            f.write(struct.pack("<QdddBBBd", p.id, *p.xyz,
+                                *[int(c) for c in p.rgb], p.error))
+            f.write(struct.pack("<Q", len(p.image_ids)))
+            for iid, pidx in zip(p.image_ids, p.point2D_idxs):
+                f.write(struct.pack("<ii", int(iid), int(pidx)))
+
+
+def write_cameras_text(cams: dict[int, ColmapCamera], path: str):
+    with open(path, "w") as f:
+        f.write("# Camera list with one line of data per camera:\n"
+                "#   CAMERA_ID, MODEL, WIDTH, HEIGHT, PARAMS[]\n"
+                f"# Number of cameras: {len(cams)}\n")
+        for cam in cams.values():
+            params = " ".join(repr(float(p)) for p in cam.params)
+            f.write(f"{cam.id} {cam.model} {cam.width} {cam.height}"
+                    f" {params}\n")
+
+
+def write_images_text(images: dict[int, ColmapImage], path: str):
+    mean_obs = (sum(len(im.point3D_ids) for im in images.values())
+                / max(len(images), 1))
+    with open(path, "w") as f:
+        f.write("# Image list with two lines of data per image:\n"
+                "#   IMAGE_ID, QW, QX, QY, QZ, TX, TY, TZ, CAMERA_ID, "
+                "NAME\n"
+                "#   POINTS2D[] as (X, Y, POINT3D_ID)\n"
+                f"# Number of images: {len(images)}, mean observations "
+                f"per image: {mean_obs}\n")
+        for im in images.values():
+            head = [im.id, *im.qvec, *im.tvec, im.camera_id, im.name]
+            f.write(" ".join(map(str, head)) + "\n")
+            f.write(" ".join(
+                f"{x} {y} {int(pid)}"
+                for (x, y), pid in zip(im.xys, im.point3D_ids)) + "\n")
+
+
+def write_points3d_text_full(pts: dict[int, ColmapPoint3D], path: str):
+    mean_track = (sum(len(p.image_ids) for p in pts.values())
+                  / max(len(pts), 1))
+    with open(path, "w") as f:
+        f.write("# 3D point list with one line of data per point:\n"
+                "#   POINT3D_ID, X, Y, Z, R, G, B, ERROR, TRACK[] as "
+                "(IMAGE_ID, POINT2D_IDX)\n"
+                f"# Number of points: {len(pts)}, mean track length: "
+                f"{mean_track}\n")
+        for p in pts.values():
+            track = " ".join(f"{int(i)} {int(j)}"
+                             for i, j in zip(p.image_ids, p.point2D_idxs))
+            f.write(f"{p.id} {p.xyz[0]} {p.xyz[1]} {p.xyz[2]} "
+                    f"{int(p.rgb[0])} {int(p.rgb[1])} {int(p.rgb[2])} "
+                    f"{p.error} {track}\n")
+
+
+def detect_model_format(path: str, ext: str) -> bool:
+    return all(os.path.isfile(os.path.join(path, f + ext))
+               for f in ("cameras", "images", "points3D"))
+
+
+def read_model(path: str, ext: str = ""):
+    """(cameras, images, points3D) with ext auto-detection ('' tries .bin
+    then .txt — ref scripts/colmap_converter.py:389-408)."""
+    if ext == "":
+        if detect_model_format(path, ".bin"):
+            ext = ".bin"
+        elif detect_model_format(path, ".txt"):
+            ext = ".txt"
+        else:
+            raise FileNotFoundError(f"no COLMAP model found in {path}")
+    j = os.path.join
+    if ext == ".bin":
+        return (read_cameras_binary(j(path, "cameras.bin")),
+                read_images_binary(j(path, "images.bin")),
+                read_points3d_binary_full(j(path, "points3D.bin")))
+    return (read_cameras_text(j(path, "cameras.txt")),
+            read_images_text(j(path, "images.txt")),
+            read_points3d_text_full(j(path, "points3D.txt")))
+
+
+def write_model(cameras, images, points3d, path: str, ext: str = ".bin"):
+    os.makedirs(path, exist_ok=True)
+    j = os.path.join
+    if ext == ".bin":
+        write_cameras_binary(cameras, j(path, "cameras.bin"))
+        write_images_binary(images, j(path, "images.bin"))
+        write_points3d_binary_full(points3d, j(path, "points3D.bin"))
+    else:
+        write_cameras_text(cameras, j(path, "cameras.txt"))
+        write_images_text(images, j(path, "images.txt"))
+        write_points3d_text_full(points3d, j(path, "points3D.txt"))

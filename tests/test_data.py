@@ -335,3 +335,85 @@ class TestDownscale:
         scene = Scene.load(str(tmp_path), resolution=(32, 32), downscale=2)
         assert scene.train.images.shape == (4, 16, 16, 3)
         assert (scene.train.width, scene.train.height) == (16, 16)
+
+
+class TestColmapModelConversion:
+    """Full-fidelity model round trip (scripts/colmap_converter.py parity
+    with ref scripts/colmap_converter.py): point ids and observation
+    tracks must survive bin -> txt -> bin."""
+
+    def _model(self):
+        rng = np.random.default_rng(11)
+        cams = {1: colmap.ColmapCamera(id=1, model="PINHOLE", width=640,
+                                       height=480,
+                                       params=np.array([500., 500., 320.,
+                                                        240.]))}
+        images = {
+            3: colmap.ColmapImage(
+                id=3, qvec=np.array([1.0, 0, 0, 0]),
+                tvec=np.array([0.1, -0.2, 2.0]), camera_id=1,
+                name="frame_0001.png",
+                xys=rng.uniform(0, 640, (5, 2)),
+                point3D_ids=np.array([7, -1, 9, 7, -1], np.int64))}
+        pts = {
+            7: colmap.ColmapPoint3D(
+                id=7, xyz=np.array([0.3, -0.5, 1.7]),
+                rgb=np.array([255., 10., 0.]), error=0.25,
+                image_ids=np.array([3, 3], np.int32),
+                point2D_idxs=np.array([0, 3], np.int32)),
+            9: colmap.ColmapPoint3D(
+                id=9, xyz=np.array([1.0, 2.0, 3.0]),
+                rgb=np.array([0., 0., 128.]), error=1.5,
+                image_ids=np.array([3], np.int32),
+                point2D_idxs=np.array([2], np.int32))}
+        return cams, images, pts
+
+    def _assert_equal(self, a, b):
+        cams, images, pts = a
+        cams2, images2, pts2 = b
+        assert cams2[1].model == cams[1].model
+        np.testing.assert_allclose(cams2[1].params, cams[1].params)
+        im, im2 = images[3], images2[3]
+        assert im2.name == im.name and im2.camera_id == im.camera_id
+        np.testing.assert_allclose(im2.qvec, im.qvec)
+        np.testing.assert_allclose(im2.tvec, im.tvec)
+        np.testing.assert_allclose(im2.xys, im.xys)
+        np.testing.assert_array_equal(im2.point3D_ids, im.point3D_ids)
+        assert set(pts2) == set(pts)
+        for pid in pts:
+            np.testing.assert_allclose(pts2[pid].xyz, pts[pid].xyz)
+            np.testing.assert_allclose(pts2[pid].rgb, pts[pid].rgb)
+            assert pts2[pid].error == pytest.approx(pts[pid].error)
+            np.testing.assert_array_equal(pts2[pid].image_ids,
+                                          pts[pid].image_ids)
+            np.testing.assert_array_equal(pts2[pid].point2D_idxs,
+                                          pts[pid].point2D_idxs)
+
+    def test_bin_txt_bin_roundtrip(self, tmp_path):
+        model = self._model()
+        colmap.write_model(*model, str(tmp_path / "bin"), ext=".bin")
+        m_bin = colmap.read_model(str(tmp_path / "bin"))       # auto-detect
+        self._assert_equal(model, m_bin)
+        colmap.write_model(*m_bin, str(tmp_path / "txt"), ext=".txt")
+        m_txt = colmap.read_model(str(tmp_path / "txt"), ext=".txt")
+        self._assert_equal(model, m_txt)
+        colmap.write_model(*m_txt, str(tmp_path / "bin2"), ext=".bin")
+        self._assert_equal(model, colmap.read_model(str(tmp_path / "bin2"),
+                                                    ext=".bin"))
+
+    def test_converter_cli(self, tmp_path):
+        import subprocess, sys, os
+        model = self._model()
+        colmap.write_model(*model, str(tmp_path / "in"), ext=".bin")
+        out = subprocess.run(
+            [sys.executable, "scripts/colmap_converter.py",
+             "--input_model", str(tmp_path / "in"),
+             "--output_model", str(tmp_path / "out"),
+             "--output_format", ".txt"],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        assert out.returncode == 0, out.stderr
+        assert "num_points3D: 2" in out.stdout
+        self._assert_equal(model,
+                           colmap.read_model(str(tmp_path / "out"), ".txt"))
