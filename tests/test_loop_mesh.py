@@ -86,3 +86,34 @@ def test_nan_guard_raises_without_good_state(gt_data):
         loop.run_stage(cfg, st, "coarse", 80, cams, bad, tx, rcfg,
                        rng=np.random.default_rng(1), key=jax.random.key(2),
                        log_every=100)
+
+
+def test_densify_surgery_under_mesh(gt_data):
+    """Surgery (clone/split + prune + bucket resize) must run INSIDE a
+    mesh-driven stage and training must continue across it (VERDICT r3
+    item 9: the surgery path was only ever exercised off-mesh)."""
+    cams, images, true_means, true_colors = gt_data
+    cfg = smoke_config()
+    cfg.opt.batch_size = 2
+    cfg.opt.densify_from_iter = 10
+    cfg.opt.densification_interval = 20
+    cfg.opt.densify_until_iter = 200
+    # threshold 0 forces clones/splits at the first boundary
+    cfg.opt.densify_grad_threshold_coarse = 0.0
+    rng = np.random.default_rng(0)
+    pts = true_means + rng.normal(0, 0.05, true_means.shape).astype(np.float32)
+    st = state_mod.create_state(jax.random.key(0), cfg, pts,
+                                np.full_like(true_colors, 0.5),
+                                spatial_lr_scale=1.0)
+    st = loop.compact_and_resize(st, 512)
+    tx = optim.build_optimizer(cfg.opt, 1.0, st.params)
+    st = st._replace(opt_state=tx.init(st.params))
+    rcfg = loop.raster_config_from(cfg, W, H)
+    mesh = make_mesh(2, 4)
+    n0 = int(st.alive.sum())
+
+    res = loop.run_stage(cfg, st, "coarse", 60, cams, images, tx, rcfg,
+                         rng=np.random.default_rng(1),
+                         key=jax.random.key(2), log_every=20, mesh=mesh)
+    assert int(res.state.alive.sum()) > n0          # surgery grew the set
+    assert np.isfinite([h["psnr"] for h in res.history]).all()
