@@ -35,3 +35,29 @@ def render_training_image(out_dir: str, label: str, iteration: int,
               fill=(255, 255, 0))
     os.makedirs(out_dir, exist_ok=True)
     img.save(os.path.join(out_dir, f"{iteration:05d}.jpg"), quality=90)
+
+
+def plot_camera_orientations(cam_list, xyz, out_path: str = "output.png",
+                             threshold: float = 2.0):
+    """3D scatter of the point cloud + camera viewing directions — the
+    pose-convention debug plot of ref scene/dataset_readers.py:510-535.
+    `cam_list` holds objects with .R (3,3) and .T (3,); xyz is (N, 3)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure()
+    ax = fig.add_subplot(111, projection="3d")
+    m = np.all(np.abs(xyz) <= threshold, axis=1)
+    pts = xyz[m]
+    ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], c="r", s=0.1)
+    for cam in cam_list:
+        R, T = np.asarray(cam.R), np.asarray(cam.T)
+        d = R @ np.array([0.0, 0.0, 1.0])
+        ax.quiver(T[0], T[1], T[2], d[0], d[1], d[2], length=1)
+    ax.set_xlabel("X Axis")
+    ax.set_ylabel("Y Axis")
+    ax.set_zlabel("Z Axis")
+    fig.savefig(out_path)
+    plt.close(fig)
+    return out_path

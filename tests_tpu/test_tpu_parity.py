@@ -43,6 +43,33 @@ def _cfg(backend):
                         backend=backend)
 
 
+def _near_gate_mask(means, scales, quats, opac, cam, atol=2e-3):
+    """(H, W) bool: pixels where SOME splat's alpha sits within `atol` of
+    the 1/255 inclusion gate — the pixels whose compositing set may
+    legitimately differ between implementations (a float-accumulation ULP
+    flips the `alpha >= 1/255` comparison)."""
+    from fourdgs_tpu.ops.projection import project_gaussians
+    from fourdgs_tpu.ops.rasterize_ref import ALPHA_MAX, ALPHA_MIN
+    proj = project_gaussians(means, scales, quats, cam, W, H, 32)
+    pix = np.asarray(proj.pix)            # (N, 2)
+    conic = np.asarray(proj.conic)        # (N, 3)
+    live = np.asarray(proj.radius) > 0
+    op = np.asarray(opac)
+    xs, ys = np.meshgrid(np.arange(W, dtype=np.float32),
+                         np.arange(H, dtype=np.float32))
+    near = np.zeros((H, W), bool)
+    for i in np.nonzero(live)[0]:
+        dx = pix[i, 0] - xs
+        dy = pix[i, 1] - ys
+        power = (-0.5 * (conic[i, 0] * dx * dx + conic[i, 2] * dy * dy)
+                 - conic[i, 1] * dx * dy)
+        alpha = np.minimum(np.where(power > 0, 0.0,
+                                    op[i] * np.exp(np.minimum(power, 0.0))),
+                           ALPHA_MAX)
+        near |= np.abs(alpha - ALPHA_MIN) < atol
+    return near
+
+
 def test_forward_matches_oracle_on_device():
     cam = make_camera(np.eye(3), np.zeros(3), FOV, FOV)
     means, scales, quats, opac, colors = _scene()
@@ -54,10 +81,19 @@ def test_forward_matches_oracle_on_device():
     # Device parity is gate-limited, not accumulation-limited: pixels
     # where a splat's alpha sits at the 1/255 inclusion gate can flip
     # between implementations (CUDA shows the same cross-impl behavior).
-    # Assert the distribution: almost all pixels tight, no large outliers.
-    dc = np.abs(np.asarray(out.color) - np.asarray(ref.color))
-    assert (dc > 5e-3).mean() < 0.01, (dc.max(), (dc > 5e-3).mean())
+    # CAUSAL accounting (VERDICT r3 weak #6): every pixel beyond the tight
+    # tolerance must actually HAVE a near-gate splat — a kernel bug
+    # touching arbitrary pixels fails this even below the 1% budget.
+    dc = np.abs(np.asarray(out.color) - np.asarray(ref.color)).max(axis=-1)
+    offending = dc > 5e-3
+    assert offending.mean() < 0.01, (dc.max(), offending.mean())
     assert dc.max() < 5e-2, dc.max()
+    if offending.any():
+        near = _near_gate_mask(means, scales, quats, opac, cam)
+        unexplained = offending & ~near
+        assert not unexplained.any(), (
+            f"{unexplained.sum()} deviating pixels have no near-gate "
+            f"splat: {np.argwhere(unexplained)[:5]}")
     dd = np.abs(np.asarray(out.depth) - np.asarray(ref.depth))
     assert (dd > 5e-2).mean() < 0.01 and dd.max() < 0.5, dd.max()
 
