@@ -188,6 +188,15 @@ def _param_nan_count(state: TrainState) -> jnp.ndarray:
 # Bucketed capacity management (host side)
 # ---------------------------------------------------------------------------
 
+def _takes_raster_cfg(cb) -> bool:
+    """Whether an on_test callback accepts the live raster_cfg kwarg."""
+    import inspect
+    try:
+        return "raster_cfg" in inspect.signature(cb).parameters
+    except (TypeError, ValueError):
+        return False
+
+
 def pick_bucket(n_alive: int, max_cap: int, min_bucket: int = 4096,
                 headroom: float = 2.0) -> int:
     """Smallest power-of-two >= n_alive * headroom, clamped to max_cap."""
@@ -308,6 +317,10 @@ class StageResult:
     history: list
     wall_time: float
     active_sh: int = 0
+    # the LIVE raster config at stage end — differs from the input when
+    # binner-cap auto-growth fired; callers must render/eval with THIS
+    # (and seed the next stage with it), not the original
+    raster_cfg: Any = None
 
 
 def run_stage(
@@ -610,7 +623,15 @@ def run_stage(
                 or (it in checkpoint_iterations and on_checkpoint)):
             tp = time.perf_counter()
             if it in test_iterations and on_test:
-                on_test(it, state, active_sh)
+                # pass the LIVE raster cfg when the callback takes it:
+                # after cap auto-growth the closure-captured original
+                # config would silently DROP pairs in eval renders
+                # (observed: coarse evals losing ~80k pairs/render and
+                # reading 14-27 dB below the training-path render)
+                if _takes_raster_cfg(on_test):
+                    on_test(it, state, active_sh, raster_cfg=raster_cfg)
+                else:
+                    on_test(it, state, active_sh)
             if it in save_iterations and on_save:
                 on_save(it, state)
             if it in checkpoint_iterations and on_checkpoint:
@@ -652,4 +673,4 @@ def run_stage(
 
     return StageResult(state=state, history=history,
                        wall_time=time.perf_counter() - t0 - paused,
-                       active_sh=active_sh)
+                       active_sh=active_sh, raster_cfg=raster_cfg)

@@ -75,6 +75,32 @@ def main():
                      else [0.0, 0.0, 0.0])
     from fourdgs_tpu.render.render import render as render_fn
 
+    # Cap probe: the snapshot may hold far more gaussians than the saved
+    # config's binner caps were sized for (training auto-grows its caps,
+    # cfg_args keeps the startup values) — render with overflowing caps and
+    # the furthest splats silently vanish. Probe one view and double the
+    # overflowing cap until drop-free.
+    import dataclasses as _dc
+    probe_cam = jax.tree.map(lambda a: a[0], scene.train.cameras)
+    for _ in range(5):
+        probe = render_fn(params["gauss"], params["deform"], probe_cam, bg,
+                          raster_cfg, deform_cfg, jnp.asarray(aabb), alive,
+                          cfg.model.sh_degree, stage="fine")
+        dp, dt = int(probe.dropped_pairs), int(probe.dropped_tile)
+        if not (dp or dt):
+            break
+        changes = {}
+        if dt and raster_cfg.tile_cap < 8192:
+            changes["tile_cap"] = raster_cfg.tile_cap * 2
+        if dp > dt and raster_cfg.bin_pairs_per_chunk < (1 << 18):
+            changes["bin_pairs_per_chunk"] = \
+                raster_cfg.bin_pairs_per_chunk * 2
+        if not changes:
+            break
+        print(f"binner overflow at saved caps ({dp} pairs/{dt} tile): "
+              f"growing {changes}")
+        raster_cfg = _dc.replace(raster_cfg, **changes)
+
     if args.mesh:
         from types import SimpleNamespace
 

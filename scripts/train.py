@@ -196,29 +196,52 @@ def main():
         def epoch_order_fn(r):
             return fine_sample_order(len(scene.train), n_poses, r)
 
-    def eval_render(state, cam, stage, active_sh):
+    def eval_render(state, cam, stage, active_sh, rcfg=None):
         """Mesh-aware single-view render: tile-sharded over the mesh when
-        one is active (sharded_eval_render), single-device otherwise."""
-        if mesh is not None and raster_cfg.num_tiles % mesh.shape["tile"] == 0:
+        one is active (sharded_eval_render), single-device otherwise.
+
+        `rcfg` is the LIVE raster config (auto-growth may have raised the
+        binner caps past the startup config — rendering with the stale
+        caps silently drops pairs; observed 14-27 dB eval error on
+        synth_mv). If the render still overflows on this view, double the
+        overflowing cap and re-render (one cached compile per cfg)."""
+        import dataclasses as _dc
+        rcfg = rcfg or raster_cfg
+        if mesh is not None and rcfg.num_tiles % mesh.shape["tile"] == 0:
             from fourdgs_tpu.parallel.sharded import sharded_eval_render
             color, depth, _ = sharded_eval_render(
-                state, cam, bg, mesh=mesh, raster_cfg=raster_cfg,
+                state, cam, bg, mesh=mesh, raster_cfg=rcfg,
                 deform_cfg=deform_cfg, stage=stage,
                 active_sh=int(active_sh))
             return color, depth
-        out = loop.eval_step(state, cam, bg, stage=stage,
-                             active_sh=active_sh, raster_cfg=raster_cfg,
-                             deform_cfg=deform_cfg)
+        for _ in range(4):
+            out = loop.eval_step(state, cam, bg, stage=stage,
+                                 active_sh=active_sh, raster_cfg=rcfg,
+                                 deform_cfg=deform_cfg)
+            dp, dt = int(out.dropped_pairs), int(out.dropped_tile)
+            if not (dp or dt):
+                break
+            changes = {}
+            if dt:
+                changes["tile_cap"] = min(rcfg.tile_cap * 2, 8192)
+            if dp > dt:
+                changes["bin_pairs_per_chunk"] = min(
+                    rcfg.bin_pairs_per_chunk * 2, 1 << 18)
+            if not changes or all(
+                    getattr(rcfg, k) == v for k, v in changes.items()):
+                break
+            rcfg = _dc.replace(rcfg, **changes)
         return out.color, out.depth
 
     def make_on_test(stage):
         def eval_split(split, name, it, state, active_sh, n=None,
-                       save_triptych=False):
+                       save_triptych=False, rcfg=None):
             n = len(split) if n is None else min(len(split), n)
             psnrs = []
             for i in range(n):
                 cam = jax.tree.map(lambda a: a[i], split.cameras)
-                color, depth = eval_render(state, cam, stage, active_sh)
+                color, depth = eval_render(state, cam, stage, active_sh,
+                                           rcfg)
                 img = jnp.clip(color, 0, 1)
                 psnrs.append(float(losses.psnr(img, split.images[i])[0]))
                 if save_triptych and i == 0:
@@ -234,14 +257,15 @@ def main():
                         np.asarray(depth), float(split.times[i]))
             return psnrs
 
-        def on_test(it, state, active_sh):
+        def on_test(it, state, active_sh, raster_cfg=None):
             # full test split + a small train sample, per ref
             # train.py:343-376 (test = all cameras, train = 5-view probe)
             test_psnrs = eval_split(scene.test, "test", it, state,
                                     active_sh,
-                                    save_triptych=cfg.model.render_process)
+                                    save_triptych=cfg.model.render_process,
+                                    rcfg=raster_cfg)
             train_psnrs = eval_split(scene.train, "train", it, state,
-                                     active_sh, n=5)
+                                     active_sh, n=5, rcfg=raster_cfg)
             print(f"\n[ITER {it}] Evaluating test: PSNR "
                   f"{np.mean(test_psnrs):.2f} over {len(test_psnrs)} views "
                   f"(train probe {np.mean(train_psnrs):.2f})")
@@ -331,6 +355,8 @@ def main():
             jax.profiler.stop_trace()
         st = res.state
         active_sh = res.active_sh
+        if res.raster_cfg is not None:
+            raster_cfg = res.raster_cfg   # carry cap auto-growth forward
         total_time += res.wall_time
         print(f"{stage} stage done in {res.wall_time:.1f}s "
               f"({int(st.alive.sum())} points)")
