@@ -338,9 +338,19 @@ def bin_gaussians_count(proj: Projected, cfg: RasterConfig,
     gidx = None
     attrs = None
     if attr_table is None:
-        gidx_flat = jnp.full((nt * cfg.tile_cap,), -1, jnp.int32).at[
-            dest_all.reshape(-1)].set(val_all.reshape(-1), mode="drop",
-                                      unique_indices=True)
+        mode = os.environ.get("FOURDGS_BIN_SCATTER", "auto")
+        if mode == "pallas" or (mode == "auto"
+                                and jax.default_backend() == "tpu"):
+            # lane-packed serial scatter-set (see scatter_set_scalars):
+            # XLA's 1-wide row scatter is the binner's largest single op
+            from fourdgs_tpu.ops.pallas.scatter import scatter_set_scalars
+            gidx_flat = scatter_set_scalars(
+                jnp.minimum(dest_all.reshape(-1), nt * cfg.tile_cap),
+                val_all.reshape(-1), n_out=nt * cfg.tile_cap)
+        else:
+            gidx_flat = jnp.full((nt * cfg.tile_cap,), -1, jnp.int32).at[
+                dest_all.reshape(-1)].set(val_all.reshape(-1), mode="drop",
+                                          unique_indices=True)
         gidx = gidx_flat.reshape(nt, cfg.tile_cap)
     else:
         # fused-attr mode: scatter the PACKED ATTRIBUTE ROWS of each pair

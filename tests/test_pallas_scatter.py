@@ -40,3 +40,21 @@ def test_vmap_batches_correctly(rng):
             idx, rows)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_scatter_set_scalars_matches_xla():
+    from fourdgs_tpu.ops.pallas.scatter import scatter_set_scalars
+    rng = np.random.default_rng(5)
+    n_out, m = 1000, 4096
+    idx = np.asarray(rng.permutation(n_out + 200)[:m % (n_out + 200)]
+                     if False else rng.permutation(n_out + 200), np.int32)
+    idx = idx[:600]                       # unique, some >= n_out (dropped)
+    val = np.asarray(rng.integers(0, 10**6, len(idx)), np.int32)
+    got = np.asarray(scatter_set_scalars(
+        jnp.minimum(jnp.asarray(idx), n_out), jnp.asarray(val),
+        n_out=n_out))
+    want = np.full(n_out, -1, np.int64)
+    for i, v in zip(idx, val):
+        if i < n_out:
+            want[i] = v
+    np.testing.assert_array_equal(got, want)
