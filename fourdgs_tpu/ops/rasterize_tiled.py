@@ -338,11 +338,13 @@ def bin_gaussians_count(proj: Projected, cfg: RasterConfig,
     gidx = None
     attrs = None
     if attr_table is None:
-        mode = os.environ.get("FOURDGS_BIN_SCATTER", "auto")
-        if mode == "pallas" or (mode == "auto"
-                                and jax.default_backend() == "tpu"):
-            # lane-packed serial scatter-set (see scatter_set_scalars):
-            # XLA's 1-wide row scatter is the binner's largest single op
+        mode = os.environ.get("FOURDGS_BIN_SCATTER", "xla")
+        if mode == "pallas":
+            # lane-packed serial scatter-set (see scatter_set_scalars).
+            # MEASURED NEGATIVE on the full bench (15.1M vs 15.9M rays/s
+            # for XLA's scatter): the serial kernel wins per-op but
+            # breaks XLA's fusion of the scatter with the surrounding
+            # binner ops. Kept opt-in, parity-tested.
             from fourdgs_tpu.ops.pallas.scatter import scatter_set_scalars
             gidx_flat = scatter_set_scalars(
                 jnp.minimum(dest_all.reshape(-1), nt * cfg.tile_cap),
