@@ -92,18 +92,22 @@ def main():
             lambda_dssim=0.0, reg_weights=(0.01, 1e-4, 1e-4),
             track_stats=True)
 
-    # warmup / compile
+    # warmup / compile (hard host syncs — see note below)
     st, aux = step(st)
-    jax.block_until_ready(aux.loss)
+    float(aux.loss)
     for _ in range(3):
         st, aux = step(st)
-    jax.block_until_ready(aux.loss)
+    float(aux.loss)
 
     t0 = time.perf_counter()
     for _ in range(steps):
         st, aux = step(st)
-    jax.block_until_ready(aux.loss)
+    # hard host sync: on the axon-tunneled backend block_until_ready can
+    # return early (see scripts/_timing.py); a device->host value pull of a
+    # loop-dependent scalar cannot
+    final_loss = float(aux.loss)
     dt = time.perf_counter() - t0
+    assert np.isfinite(final_loss), f"non-finite loss {final_loss}"
 
     rays_per_s = size * size * steps / dt
     print(json.dumps({

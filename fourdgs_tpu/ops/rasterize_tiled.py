@@ -146,6 +146,31 @@ def clip_proj_to_tile_rows(proj: Projected, row0, rows: int) -> Projected:
                          tiles_touched=touched)
 
 
+def _cumsum_1d(x: jnp.ndarray, blk: int = 256) -> jnp.ndarray:
+    """Inclusive 1-D integer cumsum via blocked triangular matmuls.
+
+    XLA's native 1-D cumsum lowers to log2(S) full-length elementwise
+    passes — 2.9 ms for the 524k-slot `owner` integral at the bench point
+    (scripts/exp_expand_r4.py). One level of (blk, blk) upper-triangular
+    f32 matmul for in-block prefixes + a tiny native int32 cumsum over the
+    S/blk block totals does the same work in ~0.1 ms. Exactness contract:
+    per-BLOCK sums must stay < 2^24 (i.e. max element < 2^24/blk = 65536);
+    holds for every binner input (marks <= bin_chunk, touched <= num_tiles).
+    Block offsets accumulate in int32, so the TOTAL may reach 2^31."""
+    s = x.shape[0]
+    pad = (-s) % blk
+    xp = jnp.pad(x, (0, pad)).astype(jnp.float32).reshape(-1, blk)
+    triu = jnp.triu(jnp.ones((blk, blk), jnp.float32))
+    incl = jax.lax.dot_general(xp, triu, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+    incl = incl.astype(x.dtype)
+    tot = incl[:, blk - 1]                          # (nb,) block totals
+    boff = jnp.cumsum(tot) - tot                    # short native cumsum
+    out = incl + boff[:, None]
+    return out.reshape(-1)[:s]
+
+
 def bin_gaussians_count(proj: Projected, cfg: RasterConfig,
                         num_tiles: int | None = None,
                         attr_table: jnp.ndarray | None = None
@@ -189,7 +214,7 @@ def bin_gaussians_count(proj: Projected, cfg: RasterConfig,
     # vectorized ops instead of per-chunk small gathers; TPU gathers have
     # high fixed cost, so fewer+bigger wins) ----
     total_slots = n_chunks * pc
-    off = jnp.cumsum(touched_s, dtype=jnp.int32)           # inclusive, (Np,)
+    off = _cumsum_1d(touched_s)                            # inclusive, (Np,)
     start = jnp.concatenate([jnp.zeros((1,), jnp.int32), off[:-1]])
     # pair start of each chunk (global pair index at chunk boundary)
     chunk_pair_start = start[::g]                          # (n_chunks,)
@@ -218,15 +243,22 @@ def bin_gaussians_count(proj: Projected, cfg: RasterConfig,
         marks = jnp.zeros((total_slots,), jnp.int32).at[
             jnp.where(slot_in_budget, g_slot0, total_slots)].add(
                 1, mode="drop")
-        owner = jnp.cumsum(marks) - 1                      # (total_slots,)
+        owner = _cumsum_1d(marks) - 1                      # (total_slots,)
         owner = jnp.clip(owner, 0, n_chunks * g - 1)
         row = tbl[owner]                                   # one row gather
     slots_g = jnp.arange(total_slots, dtype=jnp.int32)
     local = slots_g - row[:, 0]
     valid = (local >= 0) & (local < row[:, 5])
     sx = jnp.maximum(row[:, 4], 1)
-    t_ids_all = ((row[:, 3] + local // sx) * cfg.grid_x
-                 + row[:, 2] + local % sx)
+    # local // sx via f32: int32 div has no TPU hardware path (lowered to
+    # a multi-op emulation over every slot). (local + 0.5) / sx floors to
+    # the exact quotient for 0 <= local < 2^22 and sx >= 1: the 0.5 bias
+    # keeps the true value > q + 0.5/sx away from the integer boundary,
+    # far beyond f32's 2^-23 relative rounding at these magnitudes.
+    dy = jnp.floor((local.astype(jnp.float32) + 0.5)
+                   / sx.astype(jnp.float32)).astype(jnp.int32)
+    dx = local - dy * sx
+    t_ids_all = (row[:, 3] + dy) * cfg.grid_x + row[:, 2] + dx
     t_ids_all = jnp.where(valid, t_ids_all, 0).reshape(n_chunks, pc)
     oidx_all = jnp.where(valid, row[:, 1], n).reshape(n_chunks, pc)
     if expand_cumsum:
@@ -284,16 +316,28 @@ def bin_gaussians_count(proj: Projected, cfg: RasterConfig,
         if onehot_rank:
             m = valid_c[:, None] & (t_ids[:, None] == t_iota)   # (pc, nt)
             mb = m.reshape(n_blk_s, blk, nt).astype(jnp.bfloat16)
-            incl = jnp.einsum("ij,bjt->bit", tril, mb,
-                              preferred_element_type=jnp.float32)
-            bsum = incl[:, blk - 1, :]                   # (n_blk_s, nt)
-            boff = jnp.cumsum(bsum, axis=0) - bsum       # exclusive
-            hist = (boff[-1] + bsum[-1]).astype(jnp.int32)
-            cc = (incl + (boff + counter[None, :].astype(jnp.float32))
-                  [:, None, :]).reshape(pc, nt)
-            # row-pick via the one-hot: exact (counts < 2^24 in f32);
-            # invalid slots have an all-false row -> rank -1 -> dropped
-            rank = jnp.where(m, cc, 0.0).sum(axis=1).astype(jnp.int32) - 1
+            # inclusive in-block prefix counts in bf16 (exact: counts <=
+            # blk = 256 fit bf16's 8-bit mantissa). Keeping this tensor —
+            # and the full-size rank pick below — in bf16 instead of
+            # building the old (pc, nt) f32 `cc` halves the scan's HBM
+            # traffic: 4.95 -> 3.40 ms isolated (exp_binner_r4, output
+            # verified bit-identical).
+            incl = jax.lax.dot_general(
+                tril, mb, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.bfloat16)     # (blk, nbs, nt)
+            incl = jnp.moveaxis(incl, 0, 1)              # (nbs, blk, nt)
+            bsum = incl[:, blk - 1, :].astype(jnp.float32)
+            boff = (jnp.cumsum(bsum, axis=0) - bsum      # exclusive
+                    + counter[None, :].astype(jnp.float32))
+            hist = (boff[-1] - counter + bsum[-1]).astype(jnp.int32)
+            # row-pick via the one-hot: the in-block part rides bf16
+            # (exact, one nonzero per row); the f32 block base comes from
+            # a tiny per-block matvec against boff
+            own_incl = (mb * incl).sum(-1)               # (nbs, blk) bf16
+            own_base = jnp.einsum("bkt,bt->bk", mb.astype(jnp.float32),
+                                  boff)
+            rank = (own_incl.astype(jnp.float32) + own_base).astype(
+                jnp.int32).reshape(pc) - 1
             ok = valid_c & (rank < cfg.tile_cap) & (rank >= 0)
             dest = jnp.where(ok, t_ids * cfg.tile_cap + rank,
                              nt * cfg.tile_cap)
