@@ -54,14 +54,15 @@ def main():
     bin_pc = int(os.environ.get(
         "BENCH_BIN_PC",
         (16384 if tile == 32 else 32768) * (bin_chunk // 4096)))
-    # tile_cap 512: zero tile-cap drops at this operating point (front
-    # 512 gaussians saturate transmittance long before the cap bites) and
-    # every per-slot table (gidx, pack gather, bwd grads) shrinks 3x vs
-    # the old 1536 — measured 11.5M -> 13.4M rays/s.
+    # tile_cap 256: zero tile-cap drops at this operating point (front
+    # gaussians saturate transmittance long before the cap bites; the
+    # dropped_tile counter in `detail` proves it per run) and every
+    # per-slot table (gidx, pack gather, bwd grads) shrinks vs the old
+    # 1536 -> 512 -> 256 ladder (11.5M -> 13.4M -> +0.2M rays/s).
     cfg.raster = RasterParams(capacity=cap, tile_size=tile,
                               tile_cap=int(os.environ.get(
                                   "BENCH_TILE_CAP",
-                                  512 if tile == 32 else 256)),
+                                  256 if tile == 32 else 256)),
                               pair_cap=1 << 21,
                               chunk=int(os.environ.get("BENCH_CHUNK", 32)),
                               backend=backend,
@@ -119,6 +120,10 @@ def main():
             "steps": steps, "seconds": round(dt, 3),
             "steps_per_s": round(steps / dt, 3),
             "points": n_points, "image": size, "backend": backend,
+            # overflow honesty: pairs/tile-slots the binner dropped on the
+            # LAST step (0 tile drops = the composite is cap-exact)
+            "dropped_pairs": int(aux.dropped_pairs),
+            "dropped_tile": int(aux.dropped_tile),
             "device": str(jax.devices()[0]),
             "baseline_rays_per_s": round(BASELINE_RAYS_PER_S, 1),
         },
