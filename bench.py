@@ -61,8 +61,7 @@ def main():
     # 1536 -> 512 -> 256 ladder (11.5M -> 13.4M -> +0.2M rays/s).
     cfg.raster = RasterParams(capacity=cap, tile_size=tile,
                               tile_cap=int(os.environ.get(
-                                  "BENCH_TILE_CAP",
-                                  256 if tile == 32 else 256)),
+                                  "BENCH_TILE_CAP", 256)),
                               pair_cap=1 << 21,
                               chunk=int(os.environ.get("BENCH_CHUNK", 32)),
                               backend=backend,
@@ -120,8 +119,9 @@ def main():
             "steps": steps, "seconds": round(dt, 3),
             "steps_per_s": round(steps / dt, 3),
             "points": n_points, "image": size, "backend": backend,
-            # overflow honesty: pairs/tile-slots the binner dropped on the
-            # LAST step (0 tile drops = the composite is cap-exact)
+            # overflow honesty (disjoint counters): dropped_pairs = pairs
+            # beyond the per-chunk pair budget, dropped_tile = pairs beyond
+            # the per-tile cap, on the LAST step; 0/0 = drop-free
             "dropped_pairs": int(aux.dropped_pairs),
             "dropped_tile": int(aux.dropped_tile),
             "device": str(jax.devices()[0]),

@@ -196,6 +196,12 @@ def bin_gaussians_count(proj: Projected, cfg: RasterConfig,
     nt = cfg.num_tiles if num_tiles is None else num_tiles
     g = cfg.bin_chunk
     pc = cfg.bin_pairs_per_chunk
+    # _cumsum_1d exactness contract (per-block sums < 2^24 at blk=256 ⇒
+    # max element < 65536): touched_s elements are <= nt, marks counts are
+    # <= g. Both are static Python ints — violating configs must fail at
+    # trace time, not silently corrupt prefix sums/ranks.
+    assert nt < 65536, f"num_tiles {nt} >= 65536 breaks _cumsum_1d exactness"
+    assert g <= 65536, f"bin_chunk {g} > 65536 breaks _cumsum_1d exactness"
     n_chunks = -(-n // g)
     pad = n_chunks * g - n
 
@@ -310,8 +316,7 @@ def bin_gaussians_count(proj: Projected, cfg: RasterConfig,
         n_blk = g // blk
         tril = jnp.tril(jnp.ones((blk, blk), jnp.bfloat16))
 
-    def body(carry, xs):
-        counter, n_drop = carry
+    def body(counter, xs):
         c, t_ids, oidx_p, owner_local, valid_c = xs
         if onehot_rank:
             m = valid_c[:, None] & (t_ids[:, None] == t_iota)   # (pc, nt)
@@ -341,8 +346,9 @@ def bin_gaussians_count(proj: Projected, cfg: RasterConfig,
             ok = valid_c & (rank < cfg.tile_cap) & (rank >= 0)
             dest = jnp.where(ok, t_ids * cfg.tile_cap + rank,
                              nt * cfg.tile_cap)
-            n_drop = n_drop + (valid_c & ~ok).sum()
-            return (counter + hist, n_drop), (dest, oidx_p)
+            # tile-cap overflow (valid & ~ok) is counted ONCE, by
+            # dropped_tile's counter excess — not folded in here
+            return counter + hist, (dest, oidx_p)
         rmin, rmax = chunk(c)
         m = ((tx_of_t >= rmin[:, 0:1]) & (tx_of_t < rmax[:, 0:1])
              & (ty_of_t >= rmin[:, 1:2]) & (ty_of_t < rmax[:, 1:2]))
@@ -365,19 +371,20 @@ def bin_gaussians_count(proj: Projected, cfg: RasterConfig,
         ok = valid_c & (rank < cfg.tile_cap)
         dest = jnp.where(ok, t_ids * cfg.tile_cap + rank,
                          nt * cfg.tile_cap)
-        n_drop = n_drop + (valid_c & ~ok).sum()
         # emit (dest, val); the scatter happens ONCE after the scan — one
         # big unique-index scatter beats n_chunks small ones
-        return (counter + hist, n_drop), (dest, oidx_p)
+        return counter + hist, (dest, oidx_p)
 
-    init = (jnp.zeros((nt,), jnp.int32), jnp.zeros((), jnp.int32))
-    (counter, n_drop), (dest_all, val_all) = jax.lax.scan(
-        body, init,
+    counter, (dest_all, val_all) = jax.lax.scan(
+        body, jnp.zeros((nt,), jnp.int32),
         (jnp.arange(n_chunks, dtype=jnp.int32), t_ids_all, oidx_all,
          owner_local_all, valid_all))
     # overflow dests are nt*tile_cap == out of bounds -> dropped (keeping
-    # them out of the buffer also keeps the in-bounds indices truly unique)
-    n_drop = n_drop + budget_dropped
+    # them out of the buffer also keeps the in-bounds indices truly unique).
+    # dropped_pairs counts ONLY pair-budget drops; per-tile-cap drops are
+    # counted separately by dropped_tile (they used to be double-counted in
+    # both fields — ADVICE r4).
+    n_drop = budget_dropped
     total_pairs = proj.tiles_touched.sum()
     gidx = None
     attrs = None

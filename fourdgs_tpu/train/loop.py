@@ -557,7 +557,7 @@ def run_stage(
                 changes = {}
                 if dt and raster_cfg.tile_cap < 8192:
                     changes["tile_cap"] = min(raster_cfg.tile_cap * 2, 8192)
-                if dp > dt and raster_cfg.bin_pairs_per_chunk < (1 << 18):
+                if dp and raster_cfg.bin_pairs_per_chunk < (1 << 18):
                     changes["bin_pairs_per_chunk"] = min(
                         raster_cfg.bin_pairs_per_chunk * 2, 1 << 18)
                 if changes:

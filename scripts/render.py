@@ -92,7 +92,7 @@ def main():
         changes = {}
         if dt and raster_cfg.tile_cap < 8192:
             changes["tile_cap"] = raster_cfg.tile_cap * 2
-        if dp > dt and raster_cfg.bin_pairs_per_chunk < (1 << 18):
+        if dp and raster_cfg.bin_pairs_per_chunk < (1 << 18):
             changes["bin_pairs_per_chunk"] = \
                 raster_cfg.bin_pairs_per_chunk * 2
         if not changes:

@@ -224,7 +224,7 @@ def main():
             changes = {}
             if dt:
                 changes["tile_cap"] = min(rcfg.tile_cap * 2, 8192)
-            if dp > dt:
+            if dp:
                 changes["bin_pairs_per_chunk"] = min(
                     rcfg.bin_pairs_per_chunk * 2, 1 << 18)
             if not changes or all(

@@ -116,7 +116,9 @@ class TestBinning:
                             tile_cap=2, pair_cap=16, chunk=2)
         proj = project_gaussians(means, scales, quats, cam, W, H, 16)
         binned = bin_gaussians(proj, tiny)
-        assert int(binned.dropped_pairs) > 0
+        # dropped_pairs counts pair-budget drops only; tile-cap drops are
+        # counted separately by dropped_tile (no double counting)
+        assert int(binned.dropped_pairs) + int(binned.dropped_tile) > 0
         assert binned.gidx.shape == (tiny.num_tiles, 2)
 
     def test_overflow_surfaces_in_render_output(self, scene):
@@ -128,7 +130,7 @@ class TestBinning:
                             tile_cap=2, pair_cap=16, chunk=2)
         out = rasterize(means, scales, quats, opac, colors, cam,
                         jnp.zeros(3), tiny)
-        assert int(out.dropped_pairs) > 0
+        assert int(out.dropped_pairs) + int(out.dropped_tile) > 0
         clean = rasterize(means, scales, quats, opac, colors, cam,
                           jnp.zeros(3), CFG)
         assert int(clean.dropped_pairs) == 0
