@@ -54,8 +54,11 @@ class RasterConfig:
     binner: str = "count"      # "count" (sort-free) | "sort"
     bin_chunk: int = 4096      # gaussians per counting-binner scan step
     bin_pairs_per_chunk: int = 32768  # pair slots per scan step
-    bin_rank_mode: str = "onehot"  # "onehot" (MXU row-dot rank pick) |
-    #                                "gather" (scalar rank gather)
+    bin_rank_mode: str = "onehot"  # historical knob; the rank scan is
+    #                                always slot-major one-hot now (MXU
+    #                                tril matmuls when the block length is
+    #                                a multiple of 256, elementwise cumsum
+    #                                otherwise)
     # fused-attr binning (Pallas backend + count binner): the binner
     # scatters packed 16-lane attribute rows directly instead of gaussian
     # ids, eliminating the (num_tiles * tile_cap)-row pack gather.
@@ -104,6 +107,7 @@ class BinnedTiles(NamedTuple):
     num_pairs: jnp.ndarray       # () int32 total pairs before capping
     dropped_pairs: jnp.ndarray   # () int32 pairs beyond pair_cap
     dropped_tile: jnp.ndarray    # () int32 pairs beyond per-tile cap
+    overflow: Any = None         # (num_tiles,) int32 per-tile cap excess
     slots: Any = None            # BlendSlots (count binner only)
     attrs: Any = None            # (num_tiles, tile_cap, W) packed attr rows
     #                              (fused-attr mode only; empty slots zero)
@@ -182,28 +186,36 @@ def bin_gaussians_count(proj: Projected, cfg: RasterConfig,
     This binner exploits two structural facts instead:
       * a gaussian contributes AT MOST ONE entry per tile, and
       * tile coverage is an axis-aligned rect of tile columns/rows,
-    so the stable in-tile rank of a gaussian is just a column prefix-count
-    of a dense (chunk, num_tiles) coverage mask — a VPU cumsum, no sort.
+    so the stable in-tile rank of a pair is just a per-tile prefix count
+    of a dense one-hot coverage mask — a matmul cumsum, no sort.
 
-    Scan over depth-ordered chunks of `bin_chunk` gaussians:
-      mask  M[i, t] = rect_i covers tile t      (4 iota compares)
-      rank  = running per-tile counter + column cumsum of M
-      slots = scatter gaussian ids to t * tile_cap + rank (unique dests)
-    Overflows (per-tile cap, per-chunk pair budget) are counted, and since
-    gaussians are processed near-to-far the dropped ones are the furthest.
+    Slot allocation is GLOBAL: depth-sorted gaussians take contiguous slot
+    runs [start, start + touched) in one budget of
+    `ceil(n / bin_chunk) * bin_pairs_per_chunk` slots (the knobs keep their
+    product semantics so configs are unchanged). Per-tile slot order equals
+    depth order, so the rank scan walks slot blocks with a carried per-tile
+    counter. The r4 design clamped each bin_chunk of gaussians to its OWN
+    pair budget; depth-ordered chunks are heavily skewed (near gaussians
+    touch the most tiles), so the FRONT chunk overflowed its budget long
+    before the global budget was exhausted (48k drops at the bench point
+    with 10% of the global budget still free). Global allocation drops
+    pairs only when the total exceeds the budget — drop-free operation
+    needs a ~12% larger budget instead of a 2x per-chunk one.
     """
     n = proj.depth.shape[0]
     nt = cfg.num_tiles if num_tiles is None else num_tiles
     g = cfg.bin_chunk
     pc = cfg.bin_pairs_per_chunk
     # _cumsum_1d exactness contract (per-block sums < 2^24 at blk=256 ⇒
-    # max element < 65536): touched_s elements are <= nt, marks counts are
-    # <= g. Both are static Python ints — violating configs must fail at
-    # trace time, not silently corrupt prefix sums/ranks.
+    # max element < 65536): touched_s elements are <= nt; marks are 0/1.
+    # Static Python ints — violating configs must fail at trace time, not
+    # silently corrupt prefix sums/ranks.
     assert nt < 65536, f"num_tiles {nt} >= 65536 breaks _cumsum_1d exactness"
-    assert g <= 65536, f"bin_chunk {g} > 65536 breaks _cumsum_1d exactness"
     n_chunks = -(-n // g)
     pad = n_chunks * g - n
+    n_pad = n_chunks * g
+    total_slots = n_chunks * pc    # global pair budget
+    sblk = pc                      # slots per rank-scan block
 
     visible = proj.tiles_touched > 0
     order = jnp.argsort(jnp.where(visible, proj.depth, jnp.inf))
@@ -212,46 +224,25 @@ def bin_gaussians_count(proj: Projected, cfg: RasterConfig,
     touched_s = jnp.pad(proj.tiles_touched[order], (0, pad))
     order_p = jnp.pad(order, (0, pad), constant_values=n)
 
-    # per-tile (x, y) coordinate vectors
-    tx_of_t = (jnp.arange(nt, dtype=jnp.int32) % cfg.grid_x)[None, :]
-    ty_of_t = (jnp.arange(nt, dtype=jnp.int32) // cfg.grid_x)[None, :]
-
-    # ---- pair expansion, HOISTED out of the chunk scan (one set of big
-    # vectorized ops instead of per-chunk small gathers; TPU gathers have
+    # ---- pair expansion, HOISTED out of the rank scan (one set of big
+    # vectorized ops instead of per-block small gathers; TPU gathers have
     # high fixed cost, so fewer+bigger wins) ----
-    total_slots = n_chunks * pc
     off = _cumsum_1d(touched_s)                            # inclusive, (Np,)
     start = jnp.concatenate([jnp.zeros((1,), jnp.int32), off[:-1]])
-    # pair start of each chunk (global pair index at chunk boundary)
-    chunk_pair_start = start[::g]                          # (n_chunks,)
-    gauss_chunk = (jnp.arange(n_chunks * g, dtype=jnp.int32) // g)
-    # each gaussian's first SLOT: chunk base + offset within chunk budget
-    g_slot0 = gauss_chunk * pc + (start - chunk_pair_start[gauss_chunk])
-    slot_in_budget = (start - chunk_pair_start[gauss_chunk]) < pc
-    expand_cumsum = os.environ.get("FOURDGS_BIN_EXPAND", "gather") == "cumsum"
+    total = off[-1]
+    g_slot0 = jnp.minimum(start, total_slots)
+    # visible gaussians have strictly increasing starts, so marks are 0/1;
+    # invisible ones (touched == 0) route to the dropped sentinel slot
+    in_budget = (start < total_slots) & (touched_s > 0)
+    marks = jnp.zeros((total_slots,), jnp.int32).at[
+        jnp.where(in_budget, start, total_slots)].add(1, mode="drop")
+    owner = _cumsum_1d(marks) - 1                          # (total_slots,)
+    owner = jnp.clip(owner, 0, n_pad - 1)
     tbl = jnp.stack(
         [g_slot0, order_p, rect_min_s[:, 0], rect_min_s[:, 1],
          jnp.maximum(rect_max_s[:, 0] - rect_min_s[:, 0], 1),
-         touched_s,
-         jnp.arange(n_chunks * g, dtype=jnp.int32) % g], axis=1)
-    if expand_cumsum:
-        # A/B variant: the owner gather is a telescoping repeat (owner is
-        # non-decreasing), so scatter-add per-gaussian row DELTAS at each
-        # budget-clamped first slot and integrate with one int32 cumsum.
-        s_in0 = jnp.minimum(start - chunk_pair_start[gauss_chunk], pc)
-        gs0 = gauss_chunk * pc + s_in0
-        delta = tbl - jnp.concatenate(
-            [jnp.zeros((1, tbl.shape[1]), jnp.int32), tbl[:-1]], axis=0)
-        row = jnp.cumsum(
-            jnp.zeros((total_slots, tbl.shape[1]), jnp.int32).at[gs0].add(
-                delta, mode="drop"), axis=0)
-    else:
-        marks = jnp.zeros((total_slots,), jnp.int32).at[
-            jnp.where(slot_in_budget, g_slot0, total_slots)].add(
-                1, mode="drop")
-        owner = _cumsum_1d(marks) - 1                      # (total_slots,)
-        owner = jnp.clip(owner, 0, n_chunks * g - 1)
-        row = tbl[owner]                                   # one row gather
+         touched_s], axis=1)
+    row = tbl[owner]                                       # one row gather
     slots_g = jnp.arange(total_slots, dtype=jnp.int32)
     local = slots_g - row[:, 0]
     valid = (local >= 0) & (local < row[:, 5])
@@ -260,73 +251,41 @@ def bin_gaussians_count(proj: Projected, cfg: RasterConfig,
     # a multi-op emulation over every slot). (local + 0.5) / sx floors to
     # the exact quotient for 0 <= local < 2^22 and sx >= 1: the 0.5 bias
     # keeps the true value > q + 0.5/sx away from the integer boundary,
-    # far beyond f32's 2^-23 relative rounding at these magnitudes.
+    # far beyond f32\'s 2^-23 relative rounding at these magnitudes.
     dy = jnp.floor((local.astype(jnp.float32) + 0.5)
                    / sx.astype(jnp.float32)).astype(jnp.int32)
     dx = local - dy * sx
     t_ids_all = (row[:, 3] + dy) * cfg.grid_x + row[:, 2] + dx
-    t_ids_all = jnp.where(valid, t_ids_all, 0).reshape(n_chunks, pc)
-    oidx_all = jnp.where(valid, row[:, 1], n).reshape(n_chunks, pc)
-    if expand_cumsum:
-        owner_local_all = row[:, 6].reshape(n_chunks, pc)
-    else:
-        owner_local_all = (owner - gauss_chunk[owner] * g).reshape(
-            n_chunks, pc)
-    valid_all = valid.reshape(n_chunks, pc)
-    # budget overflow: pairs of a chunk beyond pc slots
-    chunk_totals = jnp.diff(jnp.concatenate(
-        [chunk_pair_start, off[-1:]]))
-    budget_dropped = jnp.maximum(chunk_totals - pc, 0).sum()
+    n_blocks = total_slots // sblk
+    t_ids_all = jnp.where(valid, t_ids_all, 0).reshape(n_blocks, sblk)
+    oidx_all = jnp.where(valid, row[:, 1], n).reshape(n_blocks, sblk)
+    valid_all = valid.reshape(n_blocks, sblk)
+    budget_dropped = jnp.maximum(total - total_slots, 0)
 
     # slot metadata for the reassociated blend backward (see BlendSlots):
-    # each gaussian's slots are the contiguous run
-    # [slot0, slot0 + alloc) inside its chunk's budget
-    s_in = jnp.minimum(start - chunk_pair_start[gauss_chunk], pc)
-    gs_slot0 = gauss_chunk * pc + s_in
-    gs_alloc = jnp.clip(jnp.minimum(touched_s, pc - s_in), 0)
+    # each gaussian\'s slots are the contiguous global run
+    # [slot0, slot0 + alloc)
+    gs_alloc = jnp.clip(jnp.minimum(touched_s, total_slots - start), 0)
 
-    def chunk(c):
-        lo = c * g
-        return (jax.lax.dynamic_slice_in_dim(rect_min_s, lo, g, 0),
-                jax.lax.dynamic_slice_in_dim(rect_max_s, lo, g, 0))
-
-    # cumsum-as-matmul: a lower-triangular ones matrix against the coverage
-    # mask turns the per-tile prefix count into MXU work. XLA's native
-    # cumsum over the 4096-long gaussian axis runs log2(g) elementwise
-    # passes over the full (g, nt) mask (~60 ms/step at 100k pts); the
-    # blocked tril matmul (bf16 in, f32 accumulate — counts are < 2^24 so
-    # exact) plus a tiny inter-block prefix does it in a few ms.
+    # Rank scan: SLOT-major one-hot coverage M[s, t] = (t_ids[s] == t);
+    # the rank of slot s is the inclusive prefix count at its OWN tile,
+    # picked by a row-wise dot with M — no per-slot scalar gather (scalar
+    # gathers run ~25x slower than row ops on v5e). The prefix count rides
+    # blocked lower-triangular matmuls (bf16 in — exact, counts <= 256 fit
+    # the 8-bit mantissa — f32 inter-block offsets): XLA\'s native cumsum
+    # would run log2(sblk) elementwise passes over the full mask instead.
     blk = 256
-    # Rank computation modes:
-    #   "onehot" (default): SLOT-major one-hot coverage M[s, t] =
-    #     (t_ids[s] == t). The rank of slot s is the inclusive prefix
-    #     count at its OWN tile, picked by a row-wise dot with M — no
-    #     per-slot scalar gather (scalar gathers run ~25x slower than row
-    #     ops on v5e; the old cc[owner*nt+t] gather was most of the scan's
-    #     8.6 ms). 4x more mask rows than the gaussian-major form, but
-    #     mask build + tril matmul + row-dot are all dense VPU/MXU work.
-    #   "gather": the original gaussian-major mask + scalar rank gather.
-    onehot_rank = cfg.bin_rank_mode == "onehot" and pc % blk == 0
-    matmul_cumsum = g % blk == 0
-    if onehot_rank:
-        n_blk_s = pc // blk
-        tril = jnp.tril(jnp.ones((blk, blk), jnp.bfloat16))
-        t_iota = jnp.arange(nt, dtype=jnp.int32)[None, :]
-    elif matmul_cumsum:
-        n_blk = g // blk
+    matmul_rank = sblk % blk == 0
+    t_iota = jnp.arange(nt, dtype=jnp.int32)[None, :]
+    if matmul_rank:
+        n_blk_s = sblk // blk
         tril = jnp.tril(jnp.ones((blk, blk), jnp.bfloat16))
 
     def body(counter, xs):
-        c, t_ids, oidx_p, owner_local, valid_c = xs
-        if onehot_rank:
-            m = valid_c[:, None] & (t_ids[:, None] == t_iota)   # (pc, nt)
+        t_ids, oidx_p, valid_c = xs
+        m = valid_c[:, None] & (t_ids[:, None] == t_iota)   # (sblk, nt)
+        if matmul_rank:
             mb = m.reshape(n_blk_s, blk, nt).astype(jnp.bfloat16)
-            # inclusive in-block prefix counts in bf16 (exact: counts <=
-            # blk = 256 fit bf16's 8-bit mantissa). Keeping this tensor —
-            # and the full-size rank pick below — in bf16 instead of
-            # building the old (pc, nt) f32 `cc` halves the scan's HBM
-            # traffic: 4.95 -> 3.40 ms isolated (exp_binner_r4, output
-            # verified bit-identical).
             incl = jax.lax.dot_general(
                 tril, mb, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.bfloat16)     # (blk, nbs, nt)
@@ -342,43 +301,23 @@ def bin_gaussians_count(proj: Projected, cfg: RasterConfig,
             own_base = jnp.einsum("bkt,bt->bk", mb.astype(jnp.float32),
                                   boff)
             rank = (own_incl.astype(jnp.float32) + own_base).astype(
-                jnp.int32).reshape(pc) - 1
-            ok = valid_c & (rank < cfg.tile_cap) & (rank >= 0)
-            dest = jnp.where(ok, t_ids * cfg.tile_cap + rank,
-                             nt * cfg.tile_cap)
-            # tile-cap overflow (valid & ~ok) is counted ONCE, by
-            # dropped_tile's counter excess — not folded in here
-            return counter + hist, (dest, oidx_p)
-        rmin, rmax = chunk(c)
-        m = ((tx_of_t >= rmin[:, 0:1]) & (tx_of_t < rmax[:, 0:1])
-             & (ty_of_t >= rmin[:, 1:2]) & (ty_of_t < rmax[:, 1:2]))
-        # the running per-tile counter is folded into the small per-block
-        # offset table so rank needs ONE big-table gather, not two
-        if matmul_cumsum:
-            mb = m.reshape(n_blk, blk, nt).astype(jnp.bfloat16)
-            incl = jnp.einsum("ij,bjt->bit", tril, mb,
-                              preferred_element_type=jnp.float32)
-            bsum = incl[:, blk - 1, :]                   # (n_blk, nt)
-            boff = jnp.cumsum(bsum, axis=0) - bsum       # exclusive
-            hist = (boff[-1] + bsum[-1]).astype(jnp.int32)
-            cc = (incl + (boff + counter[None, :].astype(jnp.float32))
-                  [:, None, :]).reshape(g * nt)
-        else:  # small/odd bin_chunk: plain elementwise cumsum
+                jnp.int32).reshape(sblk) - 1
+        else:  # small/odd budgets (tiny tests): elementwise cumsum
             colcum = jnp.cumsum(m.astype(jnp.int32), axis=0)
             hist = colcum[-1]
-            cc = (colcum + counter[None, :]).reshape(-1)
-        rank = cc[owner_local * nt + t_ids].astype(jnp.int32) - 1
-        ok = valid_c & (rank < cfg.tile_cap)
+            rank = (m * (colcum + counter[None, :])).sum(-1) - 1
+        ok = valid_c & (rank < cfg.tile_cap) & (rank >= 0)
         dest = jnp.where(ok, t_ids * cfg.tile_cap + rank,
                          nt * cfg.tile_cap)
+        # tile-cap overflow (valid & ~ok) is counted ONCE, by
+        # dropped_tile\'s counter excess — not folded in here.
         # emit (dest, val); the scatter happens ONCE after the scan — one
-        # big unique-index scatter beats n_chunks small ones
+        # big unique-index scatter beats n_blocks small ones
         return counter + hist, (dest, oidx_p)
 
     counter, (dest_all, val_all) = jax.lax.scan(
         body, jnp.zeros((nt,), jnp.int32),
-        (jnp.arange(n_chunks, dtype=jnp.int32), t_ids_all, oidx_all,
-         owner_local_all, valid_all))
+        (t_ids_all, oidx_all, valid_all))
     # overflow dests are nt*tile_cap == out of bounds -> dropped (keeping
     # them out of the buffer also keeps the in-bounds indices truly unique).
     # dropped_pairs counts ONLY pair-budget drops; per-tile-cap drops are
@@ -393,8 +332,8 @@ def bin_gaussians_count(proj: Projected, cfg: RasterConfig,
         if mode == "pallas":
             # lane-packed serial scatter-set (see scatter_set_scalars).
             # MEASURED NEGATIVE on the full bench (15.1M vs 15.9M rays/s
-            # for XLA's scatter): the serial kernel wins per-op but
-            # breaks XLA's fusion of the scatter with the surrounding
+            # for XLA\'s scatter): the serial kernel wins per-op but
+            # breaks XLA\'s fusion of the scatter with the surrounding
             # binner ops. Kept opt-in, parity-tested.
             from fourdgs_tpu.ops.pallas.scatter import scatter_set_scalars
             gidx_flat = scatter_set_scalars(
@@ -420,13 +359,15 @@ def bin_gaussians_count(proj: Projected, cfg: RasterConfig,
             dest_all.reshape(-1)].set(rows, mode="drop",
                                       unique_indices=True)
         attrs = attrs.reshape(nt, cfg.tile_cap, w)
+    overflow = jnp.maximum(counter - cfg.tile_cap, 0)
     return BinnedTiles(
         gidx=gidx,
         counts=jnp.minimum(counter, cfg.tile_cap),
         num_pairs=total_pairs,
         dropped_pairs=n_drop,
-        dropped_tile=jnp.maximum(counter - cfg.tile_cap, 0).sum(),
-        slots=BlendSlots(dest=dest_all, slot0=gs_slot0, alloc=gs_alloc,
+        dropped_tile=overflow.sum(),
+        overflow=overflow,
+        slots=BlendSlots(dest=dest_all, slot0=g_slot0, alloc=gs_alloc,
                          gid=order_p),
         attrs=attrs,
     )
@@ -484,6 +425,7 @@ def bin_gaussians_sort(proj: Projected, cfg: RasterConfig) -> BinnedTiles:
         num_pairs=total,
         dropped_pairs=jnp.maximum(total - cfg.pair_cap, 0),
         dropped_tile=jnp.maximum(full_counts - cfg.tile_cap, 0).sum(),
+        overflow=jnp.maximum(full_counts - cfg.tile_cap, 0),
     )
 
 
@@ -577,13 +519,16 @@ def reassociate_pair_grads(packed: jnp.ndarray, slots: BlendSlots,
 
     `packed` is the (num_tiles * tile_cap, W) table of per-slot gradient
     rows. Each gaussian's slots form a contiguous run in the binner's
-    budget space (BlendSlots), so: gather rows into slot order (dropped
-    slots -> 0), per-chunk prefix-sum, and difference the run boundaries.
-    One 512k-row gather + cumsum + two 131k-row gathers replaces a
-    ~1M-row scatter-add (measured 7.8 ms vs 16 ms at the bench point).
-    XLA's log-depth cumsum keeps float error ~log2(pc) ULPs. Returns
-    (n, W) per-gaussian gradient rows in original index order."""
-    nck, pc = slots.dest.shape
+    GLOBAL slot space (BlendSlots), so: gather rows into slot order
+    (dropped slots -> 0), blocked prefix-sum over the slot axis (in-block
+    log-depth cumsum + f32 inter-block offsets, so runs may cross block
+    boundaries), and difference the run boundaries. One 512k-row gather +
+    cumsum + two 131k-row gathers replaces a ~1M-row scatter-add (measured
+    7.8 ms vs 16 ms at the bench point). Float error stays
+    ~log2(block) + n_blocks ULPs. Returns (n, W) per-gaussian gradient
+    rows in original index order."""
+    nblk, sblk = slots.dest.shape
+    total_slots = nblk * sblk
     w = packed.shape[-1]
     gs = jnp.take(packed, slots.dest.reshape(-1), axis=0, mode="fill",
                   fill_value=0.0)
@@ -592,13 +537,13 @@ def reassociate_pair_grads(packed: jnp.ndarray, slots: BlendSlots,
     # (11.50M -> 10.02M rays/s): its up/down-sweep materializes
     # intermediates that break XLA's fusion with the surrounding
     # backward. Plain cumsum stays.
-    cs = jnp.cumsum(gs.reshape(nck, pc, w), axis=1)
-    cs = jnp.concatenate([jnp.zeros((nck, 1, w), packed.dtype), cs], axis=1)
-    csf = cs.reshape(nck * (pc + 1), w)
-    chunk_of = slots.slot0 // pc
-    base = chunk_of * (pc + 1)
-    a = base + (slots.slot0 - chunk_of * pc)
-    seg = csf[a + slots.alloc] - csf[a]
+    cs_in = jnp.cumsum(gs.reshape(nblk, sblk, w), axis=1)
+    tot = cs_in[:, -1]                               # (nblk, w)
+    boff = jnp.cumsum(tot, axis=0) - tot             # exclusive block base
+    cs = (cs_in + boff[:, None, :]).reshape(total_slots, w)
+    # csf[i] = sum of slot rows < i (global exclusive prefix)
+    csf = jnp.concatenate([jnp.zeros((1, w), packed.dtype), cs], axis=0)
+    seg = csf[slots.slot0 + slots.alloc] - csf[slots.slot0]
     idx = jnp.where(slots.gid < n, slots.gid, n + 1)
     return jnp.zeros((n + 1, w), packed.dtype).at[idx].set(
         seg, mode="drop", unique_indices=True)[:n]
@@ -803,7 +748,19 @@ def rasterize(
     color = _untile(color_t, cfg) + _untile(t_t, cfg)[..., None] * bg
     depth = _untile(depth_t, cfg)
     alpha = 1.0 - _untile(t_t, cfg)
+    # EFFECTIVE tile-cap drops: per-tile excess counts only where some
+    # pixel is still unsaturated (final transmittance above the blend's
+    # T_MIN gate). Ranks follow depth order, so dropped pairs sit BEHIND
+    # every composited one — in a fully saturated tile they could not have
+    # contributed, exactly the reference CUDA forward's per-pixel early
+    # termination (T < 1e-4). Raw excess stays observable via
+    # BinnedTiles.overflow.
+    if binned.overflow is not None:
+        unsat = (jax.lax.stop_gradient(t_t) > T_MIN).any(axis=1)
+        dropped_tile = (binned.overflow * unsat).sum()
+    else:
+        dropped_tile = binned.dropped_tile
     return RenderOutput(color=color, depth=depth, alpha=alpha,
                         radii=proj.radius, visibility=proj.radius > 0,
                         dropped_pairs=binned.dropped_pairs,
-                        dropped_tile=binned.dropped_tile)
+                        dropped_tile=dropped_tile)

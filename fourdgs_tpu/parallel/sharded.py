@@ -158,8 +158,21 @@ def _render_tiles_local(params, cfg: RasterConfig, deform_cfg: DeformConfig,
     color_t, depth_t, t_t = blend(gidx, px, py, proj.pix, proj.conic, colors,
                                   opacities, proj.depth, slots)
     color_t = color_t + t_t[..., None] * bg
+    # effective tile-cap drops (excess where some local pixel is
+    # unsaturated) — same semantics as rasterize(); the fallback path's
+    # overflow vector covers all tiles, slice this rank's band
+    from fourdgs_tpu.ops.rasterize_ref import T_MIN
+    overflow = binned.overflow
+    if overflow is not None:
+        if overflow.shape[0] != gidx.shape[0]:
+            overflow = jax.lax.dynamic_slice_in_dim(
+                overflow, start, gidx.shape[0], 0)
+        unsat = (jax.lax.stop_gradient(t_t) > T_MIN).any(axis=1)
+        dropped_tile = (overflow * unsat).sum()
+    else:
+        dropped_tile = binned.dropped_tile
     return (color_t, t_t, depth_t, proj.radius,
-            binned.dropped_pairs, binned.dropped_tile)
+            binned.dropped_pairs, dropped_tile)
 
 
 def make_sharded_loss(mesh: Mesh, cfg: RasterConfig,
