@@ -218,7 +218,13 @@ def bin_gaussians_count(proj: Projected, cfg: RasterConfig,
     sblk = pc                      # slots per rank-scan block
 
     visible = proj.tiles_touched > 0
-    order = jnp.argsort(jnp.where(visible, proj.depth, jnp.inf))
+    # stable=False: XLA's stable variant sorts (key, iota) lexicographically
+    # and measures ~10x slower standalone (42 vs 4.4 ms at 131k on v5e).
+    # Order among exact float-depth ties becomes unspecified — the
+    # reference CUDA radix sort over the raw depth bits has arbitrary tie
+    # order too, and blending ties commutes up to float association.
+    order = jnp.argsort(jnp.where(visible, proj.depth, jnp.inf),
+                        stable=False)
     rect_min_s = jnp.pad(proj.rect_min[order], ((0, pad), (0, 0)))
     rect_max_s = jnp.pad(proj.rect_max[order], ((0, pad), (0, 0)))
     touched_s = jnp.pad(proj.tiles_touched[order], (0, pad))
