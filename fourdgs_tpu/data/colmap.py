@@ -122,16 +122,25 @@ def read_images_binary(path: str) -> dict[int, ColmapImage]:
 
 
 def read_images_text(path: str) -> dict[int, ColmapImage]:
+    """Each image is TWO lines (pose row, points2D row); the points2D row
+    is EMPTY for known-pose models without triangulated points (our
+    poses2colmap output, ref scripts/hypernerf2colmap.py), so blank lines
+    must be kept when they follow a pose row — dropping them shifts the
+    two-line pairing onto the next image's pose row."""
     images = {}
     with open(path) as f:
-        lines = [ln.strip() for ln in f
-                 if ln.strip() and not ln.startswith("#")]
-    for i in range(0, len(lines), 2):
-        el = lines[i].split()
+        raw = [ln.strip() for ln in f if not ln.startswith("#")]
+    i = 0
+    while i < len(raw):
+        if not raw[i]:
+            i += 1
+            continue
+        el = raw[i].split()
         iid = int(el[0])
         qvec = np.array(el[1:5], dtype=np.float64)
         tvec = np.array(el[5:8], dtype=np.float64)
-        el2 = lines[i + 1].split() if i + 1 < len(lines) else []
+        el2 = raw[i + 1].split() if i + 1 < len(raw) else []
+        i += 2
         xys = np.column_stack([np.array(el2[0::3], np.float64),
                                np.array(el2[1::3], np.float64)]) \
             if el2 else np.zeros((0, 2))

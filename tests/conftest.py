@@ -28,3 +28,11 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running tier (CLI subprocess trainings, e2e optimization"
+        " loops, multi-process clusters); run `pytest -m 'not slow'` for the"
+        " fast default tier")

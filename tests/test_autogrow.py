@@ -10,6 +10,8 @@ from fourdgs_tpu.train import loop, optim, state as state_mod
 from fourdgs_tpu.train.config import RasterParams
 from tests.test_e2e_train import W, H, gt_data, smoke_config, true_scene
 
+pytestmark = pytest.mark.slow
+
 
 def test_autogrow_reaches_drop_free(gt_data):
     cams, images, true_means, true_colors = gt_data

@@ -12,6 +12,8 @@ import pytest
 
 from tests.test_data import write_blender_fixture
 
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 ENV = dict(os.environ,

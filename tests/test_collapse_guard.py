@@ -27,6 +27,8 @@ from fourdgs_tpu.train import loop, optim, state as state_mod
 from fourdgs_tpu.train.state import deform_config_from
 from tests.test_e2e_train import smoke_config
 
+pytestmark = pytest.mark.slow
+
 W, H = 64, 64
 OP = 0.008
 RCFG = RasterConfig(img_width=W, img_height=H, tile_size=16, tile_cap=256,

@@ -417,3 +417,54 @@ class TestColmapModelConversion:
         assert "num_points3D: 2" in out.stdout
         self._assert_equal(model,
                            colmap.read_model(str(tmp_path / "out"), ".txt"))
+
+
+class TestHypernerf2Colmap:
+    def test_round_trip(self, tmp_path):
+        """from_hypernerf (ref scripts/hypernerf2colmap.py parity) writes a
+        COLMAP text model whose poses round-trip through our parser."""
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                        "scripts"))
+        from poses2colmap import from_hypernerf
+
+        from fourdgs_tpu.data.colmap import (qvec2rotmat, read_cameras_text,
+                                             read_images_text)
+
+        root = tmp_path
+        (root / "camera").mkdir()
+        (root / "rgb" / "2x").mkdir(parents=True)
+        rng = np.random.default_rng(3)
+        true = []
+        for i in range(8):
+            # random rotation via QR
+            q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+            if np.linalg.det(q) < 0:
+                q[:, 0] *= -1
+            pos = rng.normal(size=3)
+            cam = {"orientation": q.tolist(), "position": pos.tolist(),
+                   "focal_length": 512.0, "principal_point": [256.0, 192.0],
+                   "image_size": [512, 384]}
+            with open(root / "camera" / f"cam_{i:04d}.json", "w") as f:
+                json.dump(cam, f)
+            img = np.zeros((4, 4, 3), np.uint8)
+            Image.fromarray(img).save(root / "rgb" / "2x" / f"{i:04d}.png")
+            true.append((q, pos))
+        from_hypernerf(str(root), max_images=4)
+
+        cams = read_cameras_text(str(root / "sparse_" / "cameras.txt"))
+        imgs = read_images_text(str(root / "sparse_" / "images.txt"))
+        assert len(cams) == len(imgs) == 4
+        assert os.path.exists(root / "sparse_" / "points3D.txt")
+        for iid, im in imgs.items():
+            src = int(im.name.split(".")[0])
+            q_true, pos_true = true[src]
+            r = qvec2rotmat(im.qvec)
+            np.testing.assert_allclose(r, q_true, atol=1e-6)
+            np.testing.assert_allclose(im.tvec, -q_true @ pos_true,
+                                       atol=1e-6)
+            c = cams[im.camera_id]
+            assert c.width == 256 and c.height == 192
+            np.testing.assert_allclose(c.params[0], 256.0)
+        # copied frames for the triangulator
+        assert len(os.listdir(root / "image_colmap")) == 4

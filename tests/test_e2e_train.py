@@ -15,6 +15,8 @@ from fourdgs_tpu.ops.rasterize_tiled import RasterConfig, rasterize
 from fourdgs_tpu.train import loop, optim, state as state_mod
 from fourdgs_tpu.train.config import Config, RasterParams
 
+pytestmark = pytest.mark.slow
+
 W, H = 64, 64
 N_TRUE = 80
 
@@ -66,8 +68,9 @@ def smoke_config():
     return cfg
 
 
-@pytest.fixture(scope="module")
-def gt_data():
+def make_gt_data():
+    """Deterministic ground-truth scene + rendered images (plain function
+    so multi-process workers can rebuild the identical data)."""
     rng = np.random.default_rng(5)
     cams = look_at_cameras(10)
     means, scales, quats, opac, colors = true_scene(rng)
@@ -81,6 +84,11 @@ def gt_data():
 
     images = jax.vmap(render_one)(cams)
     return cams, images, np.asarray(means), np.asarray(colors)
+
+
+@pytest.fixture(scope="module")
+def gt_data():
+    return make_gt_data()
 
 
 def test_coarse_training_improves_psnr(gt_data):

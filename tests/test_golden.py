@@ -23,6 +23,8 @@ from fourdgs_tpu.train import loop, optim, state as state_mod
 
 from tests.test_e2e_train import H, W, gt_data, smoke_config
 
+pytestmark = pytest.mark.slow
+
 GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "golden",
                            "psnr_trajectory.json")
 ATOL_DB = 0.35

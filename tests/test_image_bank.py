@@ -71,6 +71,7 @@ def test_prefetch_agrees_and_drains(blender_infos):
     dev.images.prefetch(idxs)
 
 
+@pytest.mark.slow
 def test_train_step_with_host_bank(blender_infos):
     """run_stage consumes a host bank exactly like a device array."""
     import jax

@@ -9,6 +9,8 @@ from fourdgs_tpu.train import loop, optim, state as state_mod
 
 from tests.test_e2e_train import H, W, gt_data, smoke_config
 
+pytestmark = pytest.mark.slow
+
 
 def test_run_stage_with_mesh(gt_data):
     cams, images, true_means, true_colors = gt_data

@@ -34,6 +34,7 @@ def test_forward_matches(scene):
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_saturated_gradients_match():
     """Deep stack of near-opaque full-screen gaussians: every pixel of
     every tile block saturates (t <= T_MIN) after the first chunks, which
@@ -75,6 +76,7 @@ def test_saturated_gradients_match():
                                    err_msg=name)
 
 
+@pytest.mark.slow
 def test_gradients_match(scene):
     cam = simple_camera()
     means, scales, quats, opac, colors = scene

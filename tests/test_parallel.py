@@ -15,6 +15,8 @@ from fourdgs_tpu.train.state import deform_config_from
 from tests.test_e2e_train import (H, W, gt_data, look_at_cameras,
                                   smoke_config, true_scene)
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def setup(gt_data):
