@@ -67,6 +67,43 @@ def init_hexplane(key: jax.Array, cfg: HexPlaneConfig) -> dict[str, Any]:
     return grids
 
 
+@jax.custom_vjp
+def _gather_rows(packed: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """packed[idx] with a swappable backward.
+
+    The default backward is XLA's scatter-add (fuses with the surrounding
+    autodiff graph). FOURDGS_HEX_BWD=pallas routes the backward through
+    the serial Mosaic scatter_add_rows kernel when the corner table fits
+    VMEM — the spatial-plane scatters are ~7.6 ms of the 42 ms bench step
+    (exp_r5_hex), and the kernel measured 2.3 vs 3.27 ms standalone at
+    the (16384, 128) level-1 table in r4 (exp_scatter_r4); kept opt-in
+    pending an in-graph win (prior Pallas scatters in the BLEND backward
+    broke XLA fusion and regressed the step — see PLAN.md negatives)."""
+    return packed[idx]
+
+
+def _gather_rows_fwd(packed, idx):
+    return packed[idx], (idx, packed.shape[0])
+
+
+def _gather_rows_bwd(res, g):
+    import os
+    idx, n_rows = res
+    w = g.shape[-1]
+    use_pallas = (os.environ.get("FOURDGS_HEX_BWD") == "pallas"
+                  and jax.default_backend() == "tpu"
+                  and w % 128 == 0 and n_rows * w * 4 <= 12 << 20)
+    if use_pallas:
+        from fourdgs_tpu.ops.pallas.scatter import scatter_add_rows
+        gp = scatter_add_rows(idx, g, n_out=n_rows)
+    else:
+        gp = jnp.zeros((n_rows, w), g.dtype).at[idx].add(g)
+    return gp, None
+
+
+_gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
 def normalize_aabb(pts: jnp.ndarray, aabb: jnp.ndarray) -> jnp.ndarray:
     """aabb (2,3) rows (max, min); maps max->-1, min->+1 (reference quirk)."""
     return (pts - aabb[0]) * (2.0 / (aabb[1] - aabb[0])) - 1.0
@@ -103,7 +140,7 @@ def bilinear_sample(plane: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.n
     # (A sort+sorted-segment-sum backward for this gather measured SLOWER
     # in-graph: 13.4M -> 10.9M rays/s — the autodiff scatter-add fuses
     # with the surrounding backward while the sort variant serializes.)
-    r = packed[y0 * w + x0]
+    r = _gather_rows(packed, y0 * w + x0)
     top = r[:, :c] * (1 - fx) + r[:, c:2 * c] * fx
     bot = r[:, 2 * c:3 * c] * (1 - fx) + r[:, 3 * c:] * fx
     return top * (1 - fy) + bot * fy
