@@ -51,6 +51,7 @@ class RenderOutput(NamedTuple):
     # which has no caps)
     dropped_pairs: jnp.ndarray | None = None   # () int32
     dropped_tile: jnp.ndarray | None = None    # () int32
+    num_pairs: jnp.ndarray | None = None       # () int32 total (pre-cap)
 
 
 def _pixel_grid(height: int, width: int):

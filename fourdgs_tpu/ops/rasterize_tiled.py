@@ -769,4 +769,5 @@ def rasterize(
     return RenderOutput(color=color, depth=depth, alpha=alpha,
                         radii=proj.radius, visibility=proj.radius > 0,
                         dropped_pairs=binned.dropped_pairs,
-                        dropped_tile=dropped_tile)
+                        dropped_tile=dropped_tile,
+                        num_pairs=binned.num_pairs)

@@ -56,6 +56,10 @@ class StepAux(NamedTuple):
     # zero — training freezes forever without tripping a NaN probe.
     # (Observed: synth_mv fine-2800, grid product blow-up.)
     n_visible: Any = -1
+    # total (gaussian, tile) pairs before capping, summed over the batch —
+    # the denominator for drop-materiality decisions (the dropped_tile
+    # counter is an upper bound; see autogrow)
+    num_pairs: Any = 0
     # max accumulated alpha over every pixel of the batch — the CONTRIBUTION
     # signal the visibility count misses. Projection radii stay positive
     # when collapsed scales / runaway deltas push every per-pixel alpha
@@ -145,6 +149,7 @@ def train_step(state: TrainState, cameras: Camera, gts: jnp.ndarray,
     aux = StepAux(loss=loss, l1=l1, psnr=psnr, image=outs.color[0],
                   dropped_pairs=outs.dropped_pairs.sum(),
                   dropped_tile=outs.dropped_tile.sum(),
+                  num_pairs=outs.num_pairs.sum(),
                   n_visible=outs.visibility.any(axis=0).sum(),
                   max_alpha=outs.alpha.max())
     return new_state, aux
@@ -404,7 +409,13 @@ def run_stage(
                  if cfg.raster.prewarm and mesh is None else None)
 
     def queue_prewarm(bucket: int, track: bool, cams_ex, gts_ex):
-        """AOT-lower the (bucket, track_stats) step variant in background."""
+        """AOT-lower the (bucket, track_stats, raster_cfg) step variant in
+        background. The LIVE raster config is part of the key AND snapshot
+        into the work closure: binner-cap auto-growth changes the config
+        mid-stage, and a prewarmed executable for the stale config is
+        useless at the bucket switch (observed: a 635 s cold compile at
+        the 131072 switch after tile-cap growth invalidated the 27 s
+        prewarm, synth_mv_r5 log)."""
         if prewarmer is None:
             return
         sds = lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x))
@@ -412,15 +423,16 @@ def run_stage(
         abs_cams = jax.tree.map(sds, cams_ex)
         abs_gts, abs_bg = sds(gts_ex), sds(bg)
         abs_sh = jax.ShapeDtypeStruct((), jnp.int32)
+        rcfg_snap = raster_cfg
 
         def work():
             train_step.lower(
                 abs_state, abs_cams, abs_gts, abs_bg, abs_sh, stage=stage,
-                raster_cfg=raster_cfg, deform_cfg=deform_cfg, tx=tx,
+                raster_cfg=rcfg_snap, deform_cfg=deform_cfg, tx=tx,
                 lambda_dssim=float(opt.lambda_dssim),
                 reg_weights=reg_weights, track_stats=track).compile()
 
-        prewarmer.queue((stage, bucket, track), work)
+        prewarmer.queue((stage, bucket, track, rcfg_snap), work)
 
     for it in range(start_iteration + 1, iterations + 1):
         if on_iteration is not None:
@@ -467,7 +479,7 @@ def run_stage(
         if prewarmer is not None:
             track_now = it < opt.densify_until_iter
             # the live call below compiles (stage, capacity, track_now)
-            prewarmer.mark((stage, state.capacity, track_now))
+            prewarmer.mark((stage, state.capacity, track_now, raster_cfg))
             # bucket growth: once alive count passes ~half the switch
             # threshold, warm the next bucket in the background
             if (state.capacity < cfg.raster.capacity
@@ -555,7 +567,16 @@ def run_stage(
             dt = int(jnp.asarray(aux.dropped_tile))
             if cfg.raster.autogrow and (dp or dt):
                 changes = {}
-                if dt and raster_cfg.tile_cap < 8192:
+                # dropped_tile is an UPPER BOUND (any-unsaturated-pixel
+                # test): a handful of counted pairs is usually excess
+                # behind covered-but-unsaturated edge pixels, and growing
+                # the cap doubles every per-slot table + forces a
+                # recompile. Grow only past a materiality threshold of
+                # 0.5% of the step's pairs (observed: growth to tile_cap
+                # 8192 on 85 of ~1M pairs halved a whole run's step rate).
+                npairs = max(int(jnp.asarray(aux.num_pairs)), 1)
+                if (dt > max(64, npairs // 200)
+                        and raster_cfg.tile_cap < 8192):
                     changes["tile_cap"] = min(raster_cfg.tile_cap * 2, 8192)
                 if dp and raster_cfg.bin_pairs_per_chunk < (1 << 18):
                     changes["bin_pairs_per_chunk"] = min(
@@ -564,6 +585,14 @@ def run_stage(
                     raster_cfg = dataclasses.replace(raster_cfg, **changes)
                     print(f"[{stage} {it}] binner overflow ({dp} pairs / "
                           f"{dt} tile-cap): growing {changes} (recompile)")
+                    # the prewarmed next-bucket executable (if any) was
+                    # lowered for the OLD config; re-queue with the new one
+                    if (prewarmer is not None
+                            and state.capacity < cfg.raster.capacity
+                            and n_alive * headroom * 2 > state.capacity):
+                        queue_prewarm(
+                            min(state.capacity * 2, cfg.raster.capacity),
+                            it < opt.densify_until_iter, cams, gts)
 
         # --- densification schedule (ref train.py:259-285) ---
         if it < opt.densify_until_iter:
@@ -652,6 +681,7 @@ def run_stage(
                        # furthest pairs, which must not happen silently)
                        dropped_pairs=dropped_pairs,
                        dropped_tile=dropped_tile,
+                       num_pairs=int(jnp.asarray(aux.num_pairs)),
                        # divergence telltales (cheap reductions)
                        rot_max=float(jnp.abs(
                            state.params["gauss"].rotation).max()),

@@ -87,10 +87,11 @@ def main():
                           raster_cfg, deform_cfg, jnp.asarray(aabb), alive,
                           cfg.model.sh_degree, stage="fine")
         dp, dt = int(probe.dropped_pairs), int(probe.dropped_tile)
-        if not (dp or dt):
+        dt_thresh = max(64, int(probe.num_pairs) // 200)
+        if not (dp or dt > dt_thresh):
             break
         changes = {}
-        if dt and raster_cfg.tile_cap < 8192:
+        if dt > dt_thresh and raster_cfg.tile_cap < 8192:
             changes["tile_cap"] = raster_cfg.tile_cap * 2
         if dp and raster_cfg.bin_pairs_per_chunk < (1 << 18):
             changes["bin_pairs_per_chunk"] = \

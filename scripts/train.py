@@ -219,10 +219,13 @@ def main():
                                  active_sh=active_sh, raster_cfg=rcfg,
                                  deform_cfg=deform_cfg)
             dp, dt = int(out.dropped_pairs), int(out.dropped_tile)
-            if not (dp or dt):
+            # dropped_tile materiality: >0.5% of the view's pairs (the
+            # counter is an upper bound; see loop.py autogrow note)
+            dt_thresh = max(64, int(out.num_pairs) // 200)
+            if not (dp or dt > dt_thresh):
                 break
             changes = {}
-            if dt:
+            if dt > dt_thresh:
                 changes["tile_cap"] = min(rcfg.tile_cap * 2, 8192)
             if dp:
                 changes["bin_pairs_per_chunk"] = min(
