@@ -52,6 +52,8 @@ class RenderOutput(NamedTuple):
     dropped_pairs: jnp.ndarray | None = None   # () int32
     dropped_tile: jnp.ndarray | None = None    # () int32
     num_pairs: jnp.ndarray | None = None       # () int32 total (pre-cap)
+    tile_peak: jnp.ndarray | None = None       # () int32 max true per-tile
+    #                                            count (pre-cap)
 
 
 def _pixel_grid(height: int, width: int):

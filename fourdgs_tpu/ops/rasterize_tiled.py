@@ -764,10 +764,13 @@ def rasterize(
     if binned.overflow is not None:
         unsat = (jax.lax.stop_gradient(t_t) > T_MIN).any(axis=1)
         dropped_tile = (binned.overflow * unsat).sum()
+        tile_peak = (binned.counts + binned.overflow).max()
     else:
         dropped_tile = binned.dropped_tile
+        tile_peak = binned.counts.max()
     return RenderOutput(color=color, depth=depth, alpha=alpha,
                         radii=proj.radius, visibility=proj.radius > 0,
                         dropped_pairs=binned.dropped_pairs,
                         dropped_tile=dropped_tile,
-                        num_pairs=binned.num_pairs)
+                        num_pairs=binned.num_pairs,
+                        tile_peak=tile_peak)

@@ -60,6 +60,9 @@ class StepAux(NamedTuple):
     # the denominator for drop-materiality decisions (the dropped_tile
     # counter is an upper bound; see autogrow)
     num_pairs: Any = 0
+    # max TRUE per-tile pair count over the batch (pre-cap) — drives
+    # tile_cap auto-shrink
+    tile_peak: Any = 0
     # max accumulated alpha over every pixel of the batch — the CONTRIBUTION
     # signal the visibility count misses. Projection radii stay positive
     # when collapsed scales / runaway deltas push every per-pixel alpha
@@ -150,6 +153,7 @@ def train_step(state: TrainState, cameras: Camera, gts: jnp.ndarray,
                   dropped_pairs=outs.dropped_pairs.sum(),
                   dropped_tile=outs.dropped_tile.sum(),
                   num_pairs=outs.num_pairs.sum(),
+                  tile_peak=outs.tile_peak.max(),
                   n_visible=outs.visibility.any(axis=0).sum(),
                   max_alpha=outs.alpha.max())
     return new_state, aux
@@ -393,6 +397,7 @@ def run_stage(
     # first check window can still roll back (instead of aborting)
     last_good, last_good_it = state, start_iteration
     rollbacks = 0
+    last_cap_change = start_iteration
     # Host-cached alive count: `int(state.alive.sum())` is a blocking
     # device->host sync; doing it every iteration serializes the dispatch
     # pipeline (~4.5 it/s observed at 400px where the device step is
@@ -583,6 +588,7 @@ def run_stage(
                         raster_cfg.bin_pairs_per_chunk * 2, 1 << 18)
                 if changes:
                     raster_cfg = dataclasses.replace(raster_cfg, **changes)
+                    last_cap_change = it
                     print(f"[{stage} {it}] binner overflow ({dp} pairs / "
                           f"{dt} tile-cap): growing {changes} (recompile)")
                     # the prewarmed next-bucket executable (if any) was
@@ -593,6 +599,25 @@ def run_stage(
                         queue_prewarm(
                             min(state.capacity * 2, cfg.raster.capacity),
                             it < opt.densify_until_iter, cams, gts)
+            # --- tile_cap auto-SHRINK ---
+            # Startup configs size tile_cap for the worst scene (e.g. the
+            # synth_mv default 2048 vs measured peaks ~300): every
+            # per-slot table (gidx, pack gather, blend grads) carries the
+            # oversize for the whole run. With 2.5x hysteresis against the
+            # measured TRUE peak (and a 500-iter cooldown vs growth
+            # events) a halving is safe: growth re-fires on materiality if
+            # the scene ever densifies past it.
+            elif cfg.raster.autogrow:
+                peak = int(jnp.asarray(aux.tile_peak))
+                if (peak > 0 and raster_cfg.tile_cap > 256
+                        and peak * 5 < raster_cfg.tile_cap * 2
+                        and it - last_cap_change >= 500):
+                    raster_cfg = dataclasses.replace(
+                        raster_cfg, tile_cap=raster_cfg.tile_cap // 2)
+                    last_cap_change = it
+                    print(f"[{stage} {it}] tile peak {peak} << cap: "
+                          f"shrinking tile_cap to {raster_cfg.tile_cap} "
+                          f"(recompile)")
 
         # --- densification schedule (ref train.py:259-285) ---
         if it < opt.densify_until_iter:
