@@ -716,7 +716,8 @@ def run_stage(
                        grid_absmax=float(_grid_absmax(
                            state.params["deform"]["grid"]))
                        if "deform" in state.params else 0.0)
-            if dropped_pairs or dropped_tile:
+            np_rec = int(jnp.asarray(aux.num_pairs))
+            if dropped_pairs or dropped_tile > max(64, np_rec // 200):
                 print(f"[{stage} {it}] WARNING: binner overflow — "
                       f"{dropped_pairs} pairs / {dropped_tile} tile-cap "
                       f"drops this step; raise tile_cap/pair_cap or the "
