@@ -48,7 +48,8 @@ def main():
     cfg.hidden.multires = [1, 2]
     cfg.hidden.defor_depth = 0
     cfg.hidden.net_width = 64
-    cap = 1 << (n_points - 1).bit_length()
+    cap = int(os.environ.get("BENCH_CAP",
+                             1 << (n_points - 1).bit_length()))
     tile = int(os.environ.get("BENCH_TILE", RasterParams.tile_size))
     bin_chunk = int(os.environ.get("BENCH_BIN_CHUNK", 4096))
     bin_pc = int(os.environ.get(

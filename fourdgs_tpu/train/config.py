@@ -151,11 +151,13 @@ class RasterParams:
     # they silently drop the furthest splats). One recompile per growth.
     autogrow: bool = True
     # bucketed-capacity schedule (loop.pick_bucket): LIVE buffer capacity is
-    # the smallest power of two >= n_alive * bucket_headroom, floored at
-    # min_bucket. Each distinct bucket costs one train-step compile; raise
-    # min_bucket (or headroom) so a run sees fewer buckets.
+    # the smallest bucket >= n_alive * bucket_headroom, floored at
+    # min_bucket (pow2 below 64k, 64k multiples above — see
+    # loop.pick_bucket). Each distinct bucket costs one train-step
+    # compile (background-prewarmed); raise min_bucket (or headroom) so a
+    # run sees fewer buckets.
     min_bucket: int = 4096
-    bucket_headroom: float = 2.0
+    bucket_headroom: float = 1.5
     # AOT-compile the NEXT bucket's train step on a background thread while
     # training continues (populates the persistent compilation cache, so
     # the bucket switch pays tracing only, not the 60-90 s XLA compile).
