@@ -162,6 +162,9 @@ class RasterParams:
     # training continues (populates the persistent compilation cache, so
     # the bucket switch pays tracing only, not the 60-90 s XLA compile).
     prewarm: bool = True
+    # minimum iterations between tile_cap changes before a SHRINK is
+    # considered (see loop.py: opacity resets spike the needed cap)
+    cap_shrink_spacing: int = 2000
 
 
 @dataclass

@@ -603,15 +603,18 @@ def run_stage(
             # Startup configs size tile_cap for the worst scene (e.g. the
             # synth_mv default 2048 vs measured peaks ~300): every
             # per-slot table (gidx, pack gather, blend grads) carries the
-            # oversize for the whole run. With 2.5x hysteresis against the
-            # measured TRUE peak (and a 500-iter cooldown vs growth
-            # events) a halving is safe: growth re-fires on materiality if
-            # the scene ever densifies past it.
+            # oversize for the whole run. Hysteresis must be STRONG: after
+            # every opacity reset the scene turns translucent, saturation
+            # stops masking far pairs and the needed cap spikes toward the
+            # TRUE peak (observed on synth_mv: shrink 2048 -> 512 followed
+            # by materiality growth back to 4096, five recompiles). Shrink
+            # only at 4x oversize and 2000-iter spacing from any change.
             elif cfg.raster.autogrow:
                 peak = int(jnp.asarray(aux.tile_peak))
                 if (peak > 0 and raster_cfg.tile_cap > 256
-                        and peak * 5 < raster_cfg.tile_cap * 2
-                        and it - last_cap_change >= 500):
+                        and peak * 4 < raster_cfg.tile_cap
+                        and it - last_cap_change
+                        >= cfg.raster.cap_shrink_spacing):
                     raster_cfg = dataclasses.replace(
                         raster_cfg, tile_cap=raster_cfg.tile_cap // 2)
                     last_cap_change = it

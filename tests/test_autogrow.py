@@ -77,7 +77,8 @@ def test_autoshrink_oversized_tile_cap(gt_data):
     cfg = smoke_config()
     cfg.raster = RasterParams(capacity=4096, tile_size=16, tile_cap=2048,
                               pair_cap=1 << 15, chunk=8,
-                              bin_pairs_per_chunk=512)
+                              bin_pairs_per_chunk=512,
+                              cap_shrink_spacing=100)
     cfg.opt.densify_from_iter = 10**9
     rng = np.random.default_rng(0)
     pts = true_means + rng.normal(0, 0.05, true_means.shape).astype(np.float32)
@@ -89,8 +90,8 @@ def test_autoshrink_oversized_tile_cap(gt_data):
     st = st._replace(opt_state=tx.init(st.params))
     rcfg = loop.raster_config_from(cfg, W, H)
 
-    # shrink fires at guard syncs past the 500-iter cooldown
-    res = loop.run_stage(cfg, st, "coarse", 600, cams, images, tx, rcfg,
+    # shrink fires at guard syncs past the (test-shortened) cooldown
+    res = loop.run_stage(cfg, st, "coarse", 300, cams, images, tx, rcfg,
                          rng=np.random.default_rng(1),
                          key=jax.random.key(2), log_every=200)
     assert res.raster_cfg.tile_cap < 2048, res.raster_cfg.tile_cap
