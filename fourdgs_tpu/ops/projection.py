@@ -37,6 +37,9 @@ class Projected(NamedTuple):
     rect_min: jnp.ndarray       # (N, 2) int32 inclusive tile min (x, y)
     rect_max: jnp.ndarray       # (N, 2) int32 exclusive tile max (x, y)
     tiles_touched: jnp.ndarray  # (N,) int32
+    cull_r2: jnp.ndarray | None = None  # (N,) int32 squared pixel radius
+    #   beyond which alpha < ALPHA_MIN is GUARANTEED (gate bound
+    #   q * lam1); sentinel 2^30 = never cull. See binner corner cull.
 
 
 def project_gaussians(
@@ -152,6 +155,9 @@ def project_gaussians(
     grid_x = (img_width + tile_size - 1) // tile_size
     grid_y = (img_height + tile_size - 1) // tile_size
     rf = radius.astype(jnp.float32)
+    # no-cull sentinel: larger than any reachable clamped distance^2 in
+    # the binner's corner test (2 * 23000^2 < 2^30), so it never fires
+    cull_r2 = jnp.full((n,), 1 << 30, jnp.int32)
     if opacities is not None:
         # stop_gradient: rects are integer binning decisions, and q's
         # log diverges as op -> 0 on culled slots.
@@ -163,6 +169,14 @@ def project_gaussians(
         rx = jnp.where(op_ok, rx, 0.0)
         ry = jnp.where(op_ok, ry, 0.0)
         radius = jnp.where(op_ok, radius, 0)
+        # Corner-cull radius for the binner: power <= -0.5 d^2 / lam1
+        # (lam1 >= the true largest covariance eigenvalue — the 0.1 floor
+        # only overestimates, which is conservative), so every pixel with
+        # d^2 > q * lam1 has alpha < ALPHA_MIN and is a guaranteed
+        # blend-gate skip. +64 absorbs f32 rounding of the product
+        # (rel err ~1e-7 at the 2^30 clamp).
+        cull_r2 = jnp.minimum(
+            jnp.ceil(q * lam1) + 64.0, float(1 << 30)).astype(jnp.int32)
     else:
         rx = ry = rf
     rect_min = jnp.stack([
@@ -181,4 +195,4 @@ def project_gaussians(
 
     return Projected(pix=pix, depth=tz, conic=conic, radius=radius,
                      rect_min=rect_min, rect_max=rect_max,
-                     tiles_touched=tiles_touched)
+                     tiles_touched=tiles_touched, cull_r2=cull_r2)
