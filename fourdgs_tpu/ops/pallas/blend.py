@@ -334,11 +334,13 @@ def make_blend(cfg):
     assert cfg.tile_cap % k == 0
     n_chunks = cfg.tile_cap // k
     # tiles per grid step (amortizes per-step overhead); scale down for
-    # bigger tiles so the pipelined VMEM blocks (~ t_blk * p) stay bounded
-    # (t_blk 4 at p == 1024 measured +1.5% over 2 on the full bench;
-    # 8 fails to lower. Tile-16 keeps the original 8.)
+    # bigger tiles so the pipelined VMEM blocks (~ t_blk * p) stay bounded.
+    # t_blk 2 at p == 1024: the r4 A/B read 4 as +1.5%, but after the r5
+    # binner corner cull the finer saturation/occupancy granularity wins
+    # (16.08M vs 15.69M rays/s drop-free on the full bench; 8 fails to
+    # lower). Tile-16 keeps the original 8.
     t_blk = int(os.environ.get("FOURDGS_BLEND_TBLK", 0)) or \
-        (4 if p >= 1024 else max(1, (8 * 256) // p))
+        (2 if p >= 1024 else max(1, (8 * 256) // p))
     interpret = jax.default_backend() != "tpu"
 
     def _pad_tiles(x):

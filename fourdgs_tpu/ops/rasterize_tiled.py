@@ -318,6 +318,11 @@ def bin_gaussians_count(proj: Projected, cfg: RasterConfig,
     # blocked lower-triangular matmuls (bf16 in — exact, counts <= 256 fit
     # the 8-bit mantissa — f32 inter-block offsets): XLA\'s native cumsum
     # would run log2(sblk) elementwise passes over the full mask instead.
+    # blk sweep (exp_rank_layout): 128 wins STANDALONE (2.94 vs 3.41 ms
+    # at 256, 3.90 at 512 — matmul FLOPs scale with blk) but LOSES 0.5 ms
+    # in the full bench step (15.88 vs 16.08M rays/s) — the same
+    # isolated-vs-in-graph inversion as every other scan-shape probe
+    # here; XLA fuses the 256 variant better. 256 stays.
     blk = 256
     matmul_rank = sblk % blk == 0
     t_iota = jnp.arange(nt, dtype=jnp.int32)[None, :]

@@ -19,7 +19,8 @@ from scripts._timing import timeit
 def main():
     from fourdgs_tpu.utils.jax_setup import enable_compilation_cache
     enable_compilation_cache()
-    nt, sblk, n_blocks, blk, cap = 625, 16384, 32, 256, 512
+    nt, sblk, n_blocks, cap = 625, 16384, 32, 512
+    blk = int(os.environ.get("RANK_BLK", 256))
     n_blk_s = sblk // blk
     key = jax.random.key(0)
     t_ids_all = jax.random.randint(key, (n_blocks, sblk), 0, nt)
