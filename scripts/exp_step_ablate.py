@@ -33,9 +33,9 @@ def main():
     cap = 131072
     cfg = Config()
     cfg.hidden.multires = [1, 2]
-    cfg.raster = RasterParams(capacity=cap, tile_size=32, tile_cap=1536,
+    cfg.raster = RasterParams(capacity=cap, tile_size=32, tile_cap=512,
                               pair_cap=1 << 21, chunk=32, backend="auto",
-                              bin_pairs_per_chunk=16384)
+                              bin_pairs_per_chunk=18432)
     pts, cols = _synthetic_scene(n_points)
     st = state_mod.create_state(jax.random.key(0), cfg, pts, cols,
                                 spatial_lr_scale=1.0)

@@ -18,6 +18,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 ENV = dict(os.environ,
            JAX_PLATFORMS="cpu",
+           # JAX_PLATFORMS alone is clobbered by the axon sitecustomize in
+           # subprocesses (it pre-registers the TPU plugin); the CLIs honor
+           # FOURDGS_PLATFORM via jax_setup.respect_platform_env — without
+           # it these tests silently grab the TPU tunnel and contend with
+           # any live training run (see .claude/skills/verify).
+           FOURDGS_PLATFORM="cpu",
            PYTHONPATH="",
            XLA_FLAGS="--xla_force_host_platform_device_count=1")
 
