@@ -280,7 +280,10 @@ def bin_gaussians_count(proj: Projected, cfg: RasterConfig,
         # gate radius (d^2 > cull_r2 implies alpha < ALPHA_MIN at every
         # pixel — ops/projection.py) contributes exactly zero, since the
         # blend's per-pixel gate would skip it anyway. Dropping it leaves
-        # the image bit-identical while shrinking per-tile counts: fewer
+        # the image identical up to float association (removing entries
+        # shifts chunk boundaries, regrouping the blend's tree-order
+        # transmittance products — the same tolerance contract as the
+        # chunked blend itself) while shrinking per-tile counts: fewer
         # live blend chunks, and tile_cap slots freed for real
         # contributors. It fires in the rect's AABB corner tiles (the
         # per-axis marginal bound already tightened the edges). The -1
