@@ -66,8 +66,14 @@ def _chunk_math(attrs, px, py, t_in):
     use = gated & (t_pref > T_MIN)
     au = jnp.where(use, alpha, 0.0)
     w = au * t_pref
-    # Mosaic has no reduce_prod; take the last row of a product scan.
-    t_prod = _scan_op(1.0 - au, kk, jnp.multiply, 1.0)[:, kk - 1:kk, :]
+    # Chunk transmittance product WITHOUT a second product scan: the used
+    # set is a gated prefix (t_pref is monotone, so once it crosses T_MIN
+    # every later entry is unused), hence prod(1 - au) over the chunk
+    # equals cp_incl at the LAST used row — and cp_incl is monotone
+    # non-increasing, so that's a masked min-reduce over the row axis
+    # (identity 1.0 when nothing is used). Replaces 5 roll+multiply
+    # passes with one native reduce.
+    t_prod = jnp.min(jnp.where(use, cp_incl, 1.0), axis=1, keepdims=True)
     return alpha_u, alpha, use, w, t_pref, t_prod, dx, dy
 
 
