@@ -48,8 +48,11 @@ def main():
     cfg.hidden.multires = [1, 2]
     cfg.hidden.defor_depth = 0
     cfg.hidden.net_width = 64
-    cap = int(os.environ.get("BENCH_CAP",
-                             1 << (n_points - 1).bit_length()))
+    # default capacity = the bucket training would pick at these points
+    # (pow2 up to 64k, 64k multiples above — loop.pick_bucket); headroom 1
+    # because the bench population is fixed
+    cap = int(os.environ.get("BENCH_CAP", 0)) or loop.pick_bucket(
+        n_points, 1 << 22, headroom=1.0)
     tile = int(os.environ.get("BENCH_TILE", RasterParams.tile_size))
     bin_chunk = int(os.environ.get("BENCH_BIN_CHUNK", 4096))
     bin_pc = int(os.environ.get(

@@ -208,9 +208,20 @@ def _takes_raster_cfg(cb) -> bool:
 
 def pick_bucket(n_alive: int, max_cap: int, min_bucket: int = 4096,
                 headroom: float = 2.0) -> int:
-    """Smallest power-of-two >= n_alive * headroom, clamped to max_cap."""
+    """Smallest capacity bucket >= n_alive * headroom, clamped to max_cap.
+
+    Buckets are powers of two up to 64k and 64k MULTIPLES above: pow2
+    rounding wastes up to 2x on every capacity-proportional stage
+    (hexplane backward rows, binner slot budget, Adam) — 524288+ slots
+    for 360k alive points — while 64k-multiple rounding caps the slack at
+    ~18% (4.32M vs 2.89M rays/s at 360k/800px drop-free, BENCH_CAP A/B).
+    The bucket is re-checked before every densify call, so capacity only
+    ever needs one surgery interval's growth headroom."""
     want = max(min_bucket, int(n_alive * headroom))
-    b = 1 << (want - 1).bit_length()
+    if want <= 65536:
+        b = 1 << (want - 1).bit_length()
+    else:
+        b = -(-want // 65536) * 65536
     return min(b, max_cap)
 
 

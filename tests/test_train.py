@@ -183,6 +183,12 @@ class TestBucketing:
         assert loop.pick_bucket(10, 400_000) == 4096
         assert loop.pick_bucket(3000, 400_000) == 8192
         assert loop.pick_bucket(300_000, 400_000) == 400_000
+        # above 64k, buckets are 64k MULTIPLES, not powers of two
+        assert loop.pick_bucket(360_000, 1 << 22, headroom=1.0) == 393_216
+        assert loop.pick_bucket(100_000, 1 << 22, headroom=1.0) == 131_072
+        assert loop.pick_bucket(140_000, 1 << 22, headroom=1.0) == 196_608
+        # pow2 ladder below 64k is unchanged
+        assert loop.pick_bucket(30_000, 1 << 22, headroom=1.0) == 32_768
 
     def test_compact_and_resize_preserves_alive(self):
         cfg = tiny_config(cap=64)
