@@ -11,6 +11,7 @@ import argparse
 import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -88,7 +89,12 @@ def main():
     from fourdgs_tpu.train.state import deform_config_from
 
     np.random.seed(cfg.seed)
-    print(f"Loading scene from {cfg.model.source_path}")
+    # Setup-phase timing: the pre-training phase (scene load + KNN init +
+    # first device compiles) can dominate wall time on a cold
+    # remote-compile tunnel (the r5c run spent ~20 min here with no log
+    # output, indistinguishable from a hang) — stamp each stage.
+    t_setup = time.time()
+    print(f"Loading scene from {cfg.model.source_path}", flush=True)
     scene = Scene.load(cfg.model.source_path,
                        white_background=cfg.model.white_background,
                        eval_split=cfg.model.eval,
@@ -97,15 +103,19 @@ def main():
                        llffhold=cfg.model.llffhold,
                        downscale=max(cfg.model.resolution, 1))
     print(f"  type={scene.dataset_type} train={len(scene.train)} "
-          f"test={len(scene.test)} extent={scene.cameras_extent:.3f}")
+          f"test={len(scene.test)} extent={scene.cameras_extent:.3f} "
+          f"({time.time() - t_setup:.1f}s)", flush=True)
 
     pcd = scene.info.point_cloud
     key = jax.random.key(cfg.seed)
+    t0 = time.time()
     st = state_mod.create_state(
         key, cfg, pcd.points, pcd.colors,
         spatial_lr_scale=scene.cameras_extent, aabb=scene.aabb)
     st = loop.compact_and_resize(
         st, loop.pick_bucket(int(st.alive.sum()), cfg.raster.capacity))
+    print(f"  state init (KNN + first device compile): "
+          f"{time.time() - t0:.1f}s", flush=True)
     tx = optim.build_optimizer(cfg.opt, scene.cameras_extent, st.params)
     st = st._replace(opt_state=tx.init(st.params))
 
