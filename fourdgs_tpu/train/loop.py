@@ -102,16 +102,25 @@ def train_step(state: TrainState, cameras: Camera, gts: jnp.ndarray,
                           raster_cfg, deform_cfg, state.aabb, state.alive,
                           active_sh, stage=stage, ndc_offset=ndc_offset)
 
-        # Batch size is static under jit. vmap over a batch-1 camera axis
+        # Batch size is static under jit. vmap over a camera axis
         # measurably pessimizes the binner's scatters (+6.5 ms fwd at
-        # 100k/800px on v5e: batched scatter lowers worse than flat), and
-        # batch=1 is the reference's training regime (ref train.py:170-178
-        # pops one viewpoint per iteration) — so bypass vmap there.
+        # 100k/800px on v5e: batched scatter lowers worse than flat), so
+        # small batches unroll into sequential renders instead (the
+        # reference's own structure, ref train.py:180-192): batch-2
+        # unrolled 17.4M vs vmapped 14.5M rays/s at the bench point.
+        # From batch 4 up, vmap's amortization wins (20.0M vs 18.1M) —
+        # see PLAN.md r5-final ledger. batch=1 (the reference's D-NeRF
+        # regime) bypasses both.
         batch = jax.tree.leaves(cameras)[0].shape[0]
         if batch == 1:
             outs = jax.tree.map(
                 lambda x: x[None],
                 render_one(jax.tree.map(lambda x: x[0], cameras)))
+        elif batch <= 3:
+            outs_list = [
+                render_one(jax.tree.map(lambda x: x[i], cameras))
+                for i in range(batch)]
+            outs = jax.tree.map(lambda *xs: jnp.stack(xs), *outs_list)
         else:
             outs = jax.vmap(render_one)(cameras)
         imgs = outs.color
