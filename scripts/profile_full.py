@@ -44,18 +44,18 @@ def main():
 
     n_points = int(os.environ.get("PROF_POINTS", 100_000))
     size = int(os.environ.get("PROF_SIZE", 800))
-    ts = int(os.environ.get("PROF_TILE", 16))
-    tc = int(os.environ.get("PROF_TILE_CAP", 768))
+    ts = int(os.environ.get("PROF_TILE", 32))   # bench default
+    tc = int(os.environ.get("PROF_TILE_CAP", 512))  # bench default
     cfg = Config()
     cfg.hidden.multires = [1, 2]
     cfg.hidden.defor_depth = 0
     cfg.hidden.net_width = 64
-    cap = 1 << (n_points - 1).bit_length()
+    cap = loop.pick_bucket(n_points, 1 << 22, headroom=1.0)
     cfg.raster = RasterParams(
         capacity=cap, tile_size=ts, tile_cap=tc, pair_cap=1 << 21, chunk=32,
         backend="auto",
         bin_chunk=int(os.environ.get("PROF_BIN_CHUNK", 4096)),
-        bin_pairs_per_chunk=int(os.environ.get("PROF_BIN_PC", 32768)))
+        bin_pairs_per_chunk=int(os.environ.get("PROF_BIN_PC", 18432)))
     pts, cols = _synthetic_scene(n_points)
     st = state_mod.create_state(jax.random.key(0), cfg, pts, cols,
                                 spatial_lr_scale=1.0)
